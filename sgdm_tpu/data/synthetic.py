@@ -1,0 +1,66 @@
+"""Synthetic datasets for tests, smoke runs and benchmarking.
+
+The reference's poor-man's fixtures are `debug=1` dataset truncation and a
+dummy-dataset FID harness (`eval/eval_fid.py:611-641`, SURVEY.md §4).  This
+module gives the TPU build a real fixture: a deterministic procedurally-
+generated labeled image dataset with the same batch-dict contract as the
+real datasets (`image` NHWC float32 in [-1,1], `label` one-hot, `id`,
+`img4unsup` uint8), so the full train→sample→FID path runs with zero
+downloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["SyntheticImages"]
+
+
+class SyntheticImages:
+    """Gaussian-blob class-conditional images.
+
+    Each class k draws blobs at a class-specific grid position, so a trained
+    conditional model is actually class-distinguishable (useful for guidance
+    sanity checks, not just plumbing).
+    """
+
+    def __init__(
+        self,
+        size: int = 32,
+        channels: int = 3,
+        num_classes: int = 10,
+        length: int = 1024,
+        seed: int = 0,
+        cond_key: str = "label",
+    ):
+        self.size = size
+        self.channels = channels
+        self.num_classes = num_classes
+        self.length = length
+        self.seed = seed
+        self.cond_key = cond_key
+
+    def __len__(self) -> int:
+        return self.length
+
+    def __getitem__(self, i: int) -> dict:
+        rng = np.random.default_rng(self.seed * 1_000_003 + i)
+        label = i % self.num_classes
+        s = self.size
+        yy, xx = np.mgrid[0:s, 0:s].astype(np.float32) / s
+        cy = 0.2 + 0.6 * ((label % 4) / 3.0)
+        cx = 0.2 + 0.6 * ((label // 4) / 3.0)
+        sigma = 0.15 + 0.02 * rng.standard_normal()
+        blob = np.exp(-(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sigma ** 2)))
+        img = np.stack([blob * (0.5 + 0.5 * ((label + c) % 3) / 2.0)
+                        for c in range(self.channels)], axis=-1)
+        img += 0.05 * rng.standard_normal(img.shape).astype(np.float32)
+        img01 = np.clip(img, 0.0, 1.0).astype(np.float32)
+        onehot = np.zeros((self.num_classes,), dtype=np.float32)
+        onehot[label] = 1.0
+        return {
+            "image": img01 * 2.0 - 1.0,  # [-1,1] NHWC
+            self.cond_key: onehot,
+            "id": np.int64(i),
+            "img4unsup": (img01 * 255).astype(np.uint8),
+        }

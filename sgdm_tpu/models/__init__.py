@@ -1,0 +1,29 @@
+from .attention_lr import AttentionLR, CrossAttentionLR
+from .ema import ema_decay_schedule, ema_update
+from .factory import create_denoiser
+from .layers import (
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    SelfAttentionBlock,
+    Upsample,
+    timestep_embedding,
+)
+from .unet import UNetBackbone, UNetCAModel, UNetModel
+
+__all__ = [
+    "AttentionLR",
+    "CrossAttentionLR",
+    "ema_decay_schedule",
+    "ema_update",
+    "create_denoiser",
+    "Downsample",
+    "GroupNorm32",
+    "ResBlock",
+    "SelfAttentionBlock",
+    "Upsample",
+    "timestep_embedding",
+    "UNetBackbone",
+    "UNetCAModel",
+    "UNetModel",
+]

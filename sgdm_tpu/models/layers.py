@@ -1,0 +1,216 @@
+"""ADM-UNet building blocks in Flax (NHWC, TPU-native).
+
+TPU-native rewrite of `dynamic/diffusionmodules/util.py` +
+`openaimodel.py:207-465` (ResBlock / AttentionBlock / Up-Downsample /
+timestep embedding / GroupNorm32 / zero_module).
+
+Design deviations from the torch reference, on purpose:
+  * NHWC layout everywhere (TPU conv layout; the reference is NCHW),
+  * a `dtype` compute policy: params live in float32, block compute can run
+    bfloat16 (MXU-native) with GroupNorm and softmax always in float32 —
+    mirroring GroupNorm32's fp32-norm trick (`util.py:210-215`),
+  * `zero_module` becomes zero-initialization of the final conv/dense kernels
+    (same effect: blocks start as identity contributions).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = [
+    "timestep_embedding",
+    "GroupNorm32",
+    "ResBlock",
+    "Upsample",
+    "Downsample",
+    "SelfAttentionBlock",
+    "zeros_init",
+]
+
+zeros_init = nn.initializers.zeros
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) -> jax.Array:
+    """Sinusoidal embeddings, [N] -> [N, dim], cos||sin order.
+
+    Parity: dynamic/diffusionmodules/util.py:151-171 (cos first, then sin;
+    odd dims zero-padded). Timesteps may be fractional (EDM passes floats).
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm32(nn.Module):
+    """32-group GroupNorm computed in float32 regardless of activation dtype.
+
+    Parity: openaimodel normalization() + GroupNorm32 (util.py:199-215).
+    """
+
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig = x.dtype
+        x = nn.GroupNorm(
+            # largest divisor of C that is <= num_groups; identical to the
+            # reference's fixed 32 groups whenever C % 32 == 0 (always true
+            # for the shipped presets, whose channels are multiples of 32)
+            num_groups=math.gcd(self.num_groups, x.shape[-1]),
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig)
+
+
+class Upsample(nn.Module):
+    """2x nearest upsample + optional 3x3 conv. Parity: openaimodel.py Upsample."""
+
+    use_conv: bool = True
+    out_channels: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        if self.use_conv:
+            x = nn.Conv(self.out_channels or c, (3, 3), padding=1, dtype=self.dtype)(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv (or avg-pool) downsample. Parity: openaimodel.py Downsample."""
+
+    use_conv: bool = True
+    out_channels: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        if self.use_conv:
+            return nn.Conv(
+                self.out_channels or c, (3, 3), strides=(2, 2), padding=1,
+                dtype=self.dtype,
+            )(x)
+        assert (self.out_channels or c) == c
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class ResBlock(nn.Module):
+    """Residual block with FiLM time conditioning.
+
+    Parity: openaimodel.py:207-321 — GN→SiLU→conv3x3 in_layers; SiLU→Dense
+    emb_layers; scale-shift-norm FiLM `out_norm(h)*(1+scale)+shift`
+    (:313-315); zero-init out conv; optional built-in up/down resampling
+    (resblock_updown) where h and the skip are resampled by parameter-free
+    nearest/avg-pool ops.
+    """
+
+    out_channels: int | None = None
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = True
+    up: bool = False
+    down: bool = False
+    use_conv_skip: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
+        c_in = x.shape[-1]
+        c_out = self.out_channels or c_in
+
+        h = GroupNorm32()(x)
+        h = nn.silu(h)
+        if self.up:
+            h = Upsample(use_conv=False, dtype=self.dtype)(h)
+            x = Upsample(use_conv=False, dtype=self.dtype)(x)
+        elif self.down:
+            h = Downsample(use_conv=False, dtype=self.dtype)(h)
+            x = Downsample(use_conv=False, dtype=self.dtype)(x)
+        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = nn.Dense(
+            2 * c_out if self.use_scale_shift_norm else c_out,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(nn.silu(emb))
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32()(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out
+            h = GroupNorm32()(h)
+            h = nn.silu(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Conv(
+            c_out, (3, 3), padding=1, dtype=self.dtype,
+            kernel_init=zeros_init, name="out_conv",
+        )(h)
+
+        if c_out == c_in:
+            skip = x
+        elif self.use_conv_skip:
+            skip = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip_proj")(x)
+        return skip + h
+
+
+class SelfAttentionBlock(nn.Module):
+    """Spatial self-attention at a fixed resolution.
+
+    Parity: openaimodel.py:323-465 AttentionBlock/QKVAttention — fused QKV
+    projection, per-head scale 1/sqrt(sqrt(d)) applied to BOTH q and k
+    (fp16-stability trick, :446-452), float32 softmax, zero-init output
+    projection, residual add.
+    """
+
+    num_heads: int = 8
+    num_head_channels: int = -1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, hh, ww, c = x.shape
+        if self.num_head_channels == -1:
+            heads = self.num_heads
+        else:
+            assert c % self.num_head_channels == 0
+            heads = c // self.num_head_channels
+        d = c // heads
+
+        h = GroupNorm32()(x).reshape(b, hh * ww, c)
+        qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(h)
+        q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3, heads, d), 3, axis=2)
+        q = q.squeeze(2)  # [b, n, heads, d]
+        k = k.squeeze(2)
+        v = v.squeeze(2)
+
+        scale = 1.0 / math.sqrt(math.sqrt(d))
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * scale, k * scale,
+            preferred_element_type=jnp.float32,
+        )
+        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, hh * ww, c)
+        out = nn.DenseGeneral(
+            c, dtype=self.dtype, kernel_init=zeros_init, name="proj_out"
+        )(out)
+        return x + out.reshape(b, hh, ww, c)

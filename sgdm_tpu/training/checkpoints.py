@@ -1,0 +1,85 @@
+"""Checkpointing with orbax: best-FID + last, resume support.
+
+TPU-native rewrite of the reference checkpoint policy (SURVEY.md §5.4):
+Lightning `ModelCheckpoint` monitoring `val/fid_for_ckpt` with `save_last`
+and an epoch+FID filename (`config/pl/default.yaml:27-36`), checkpoint
+contents = model + EMA shadow + optimizer state (+ step), resume via
+`trainer.fit(ckpt_path=...)` (`main.py:126-133`).
+
+Here a checkpoint is the whole `TrainState` pytree (params, ema_params,
+opt_state, step, ema_updates) plus a small JSON of monitor metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..utils.logging import logger
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    """best-metric + last checkpointing (lower metric = better, like FID)."""
+
+    def __init__(self, ckpt_dir: str | Path, monitor: str = "val/fid_for_ckpt"):
+        self.dir = Path(ckpt_dir).absolute()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self._ckpt = ocp.StandardCheckpointer()
+        self._meta_path = self.dir / "meta.json"
+        self.meta: dict[str, Any] = {"best_score": None, "best_path": None, "last_path": None}
+        if self._meta_path.exists():
+            self.meta = json.loads(self._meta_path.read_text())
+
+    # ------------------------------------------------------------------
+    def save_last(self, state, epoch: int) -> Path:
+        path = self.dir / "last"
+        if path.exists():
+            shutil.rmtree(path)
+        self._ckpt.save(path, state)
+        self._ckpt.wait_until_finished()
+        self.meta["last_path"] = str(path)
+        self.meta["last_epoch"] = epoch
+        self._flush()
+        return path
+
+    def save_best_if_improved(self, state, epoch: int, score: float) -> Path | None:
+        """Keep the best (lowest) `monitor` checkpoint; filename embeds
+        epoch+score like the reference's `epoch_{epoch:06}-fid_{...}`."""
+        best = self.meta.get("best_score")
+        if best is not None and score >= best:
+            return None
+        path = self.dir / f"epoch_{epoch:06d}-fid_{score:.3f}"
+        self._ckpt.save(path, state)
+        self._ckpt.wait_until_finished()
+        old = self.meta.get("best_path")
+        if old and Path(old).exists() and Path(old) != path:
+            shutil.rmtree(old)
+        self.meta.update(best_score=score, best_path=str(path), best_epoch=epoch)
+        self._flush()
+        logger.warning(f"best_model_path(score:{score}): {path}")
+        return path
+
+    # ------------------------------------------------------------------
+    def restore(self, state_template, path: str | Path | None = None):
+        """Restore a TrainState (shape/dtype template required by orbax)."""
+        path = Path(path) if path else Path(self.meta["last_path"])
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state_template
+        )
+        return self._ckpt.restore(path.absolute(), abstract)
+
+    def _flush(self) -> None:
+        self._meta_path.write_text(json.dumps(self.meta, indent=2))
+
+    @property
+    def has_checkpoint(self) -> bool:
+        p = self.meta.get("last_path")
+        return bool(p and Path(p).exists())

@@ -1,0 +1,234 @@
+"""Train state and the jitted, mesh-sharded train/eval/sample steps.
+
+TPU-native replacement for the Lightning orchestration layer
+(`lightning_module.py:56-323 TaoDiffusion` + Lightning DDP):
+
+  * `TrainState{step, params, ema_params, opt_state, ema_updates}` replaces
+    the LightningModule's model + LitEma buffers + optimizer state,
+  * `make_train_step` fuses loss, grad, optimizer update and the EMA update
+    (`on_train_batch_end` → `model_ema(model)`, lightning_module.py:312-314)
+    into ONE jitted program; under a Mesh the batch rides the 'data' axis and
+    XLA inserts the gradient all-reduce — the DDP/NCCL replacement,
+  * `make_eval_step` = the reference's val loss pass (both EMA and non-EMA
+    weights, lightning_module.py:291-303) — pass whichever params you want,
+  * `make_sample_fn` builds the guided-sampling program: conditioning baked
+    into a closure + CFG fusion + sampler scan, all inside jit.
+
+Everything is pure; RNG is threaded explicitly (seed discipline replacing
+torch's global RNG, SURVEY.md §7 hard-part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diffusion import GaussianDiffusion, make_guided_denoiser
+from ..models.ema import ema_update
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_eval_step", "make_sample_fn"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    ema_params: Any
+    opt_state: Any
+    ema_updates: jax.Array  # LitEma num_updates counter (ema.py:13-14)
+
+
+def create_train_state(
+    model,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    example_batch: Mapping[str, Any],
+    cond_kwargs: Mapping[str, Any] | None = None,
+) -> TrainState:
+    """Initialize params (and the EMA copy) from an example batch."""
+    cond_kwargs = {
+        k: v for k, v in (cond_kwargs or {}).items() if k in ("cond", "layout")
+    }
+    x = jnp.asarray(example_batch["image"])
+    t = jnp.zeros((x.shape[0],), dtype=jnp.int32)
+    variables = model.init(rng, x, t, **cond_kwargs)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        # distinct buffers, not aliases: params and ema_params are both in a
+        # donated argument, and aliased buffers cannot be donated twice
+        ema_params=jax.tree.map(jnp.copy, params),
+        opt_state=tx.init(params),
+        ema_updates=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def _apply_denoiser(model, params, dropout_rng=None, train=False):
+    def apply_fn(x, t, cond_drop_mask=None, **cond_kwargs):
+        rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
+        return model.apply(
+            {"params": params}, x, t,
+            cond_drop_mask=cond_drop_mask, train=train, rngs=rngs,
+            **cond_kwargs,
+        )
+
+    return apply_fn
+
+
+def make_train_step(
+    model,
+    diffusion: GaussianDiffusion,
+    tx: optax.GradientTransformation,
+    *,
+    cond_drop_prob: float = 0.0,
+    ema_decay: float = 0.9999,
+    use_ema: bool = True,
+    mesh: Mesh | None = None,
+) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
+    """Build the fused train step.  ``batch`` must contain 'image' (NHWC,
+    [-1,1]) and any condition tensors under 'cond'/'layout' keys."""
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss_rng, dropout_rng = jax.random.split(rng)
+        cond_kwargs = {
+            k: batch[k] for k in ("cond", "layout") if batch.get(k) is not None
+        }
+
+        def loss_fn(params):
+            denoise = _apply_denoiser(model, params, dropout_rng, train=True)
+            return diffusion.loss(
+                denoise, loss_rng, batch["image"],
+                cond_kwargs=cond_kwargs, cond_drop_prob=cond_drop_prob,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        if use_ema:
+            n = state.ema_updates + 1
+            ema_params = ema_update(state.ema_params, params, n, ema_decay)
+        else:
+            n = state.ema_updates
+            ema_params = params
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            ema_params=ema_params,
+            opt_state=opt_state,
+            ema_updates=n,
+        )
+        metrics = {
+            "loss": loss,
+            "ddpm_loss": aux["ddpm_loss"],
+            "grad_norm": optax.global_norm(grads),
+            "epoch_stats_x": aux["epoch_stats_x"],
+            "epoch_stats_y": aux["epoch_stats_y"],
+        }
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """Validation loss (no grad, cond never dropped at eval-loss time —
+    parity with shared_step under `training=False` which forces drop=1.0 in
+    the conditioning glue; the caller passes the drop prob it wants)."""
+
+    def eval_step(params, batch, rng, cond_drop_prob=1.0):
+        cond_kwargs = {
+            k: batch[k] for k in ("cond", "layout") if batch.get(k) is not None
+        }
+        denoise = _apply_denoiser(model, params, train=False)
+        loss, aux = diffusion.loss(
+            denoise, rng, batch["image"],
+            cond_kwargs=cond_kwargs, cond_drop_prob=cond_drop_prob,
+        )
+        return {"loss": loss, "ddpm_loss": aux["ddpm_loss"]}
+
+    if mesh is None:
+        return jax.jit(eval_step, static_argnames=("cond_drop_prob",))
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        eval_step,
+        static_argnames=("cond_drop_prob",),
+        in_shardings=(repl, data, repl),
+        out_shardings=repl,
+    )
+
+
+def make_sample_fn(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    sampling_method: str = "ddim",
+    num_steps: int = 50,
+    cond_scale: float = 2.0,
+    scale_type: str = "imagen",
+    ddim_eta: float = 0.0,
+    clip_denoised: bool = True,
+    dtp: float = 1.0,
+    temperature: float = 1.0,
+    noise_dropout: float = 0.0,
+    log_num_per_prog: int = 10,
+    return_uint8: bool = True,
+    mesh: Mesh | None = None,
+) -> Callable:
+    """Build the jitted guided-sampling program.
+
+    Returns ``sample(params, rng, shape_batch, cond=None, layout=None)`` →
+    (images, intermediates).  This is the TPU equivalent of
+    `sampling_progressive` (lightning_module.py:136-203): conditioning plus
+    CFG is fused into the scanned denoise step.
+    """
+
+    def sample(params, rng, batch_size, image_size, channels,
+               cond=None, layout=None):
+        apply_fn = _apply_denoiser(model, params, train=False)
+        guided = make_guided_denoiser(apply_fn, scale_type=scale_type)
+        cond_kwargs = {}
+        if cond is not None:
+            cond_kwargs["cond"] = cond
+        if layout is not None:
+            cond_kwargs["layout"] = layout
+        denoise = lambda x, t: guided(x, t, cond_scale=cond_scale, **cond_kwargs)
+        shape = (batch_size, image_size, image_size, channels)
+        return diffusion.sample(
+            sampling_method, denoise, rng, shape,
+            num_steps=num_steps, ddim_eta=ddim_eta,
+            clip_denoised=clip_denoised, dtp=dtp,
+            temperature=temperature, noise_dropout=noise_dropout,
+            log_num_per_prog=log_num_per_prog, return_uint8=return_uint8,
+        )
+
+    # Shardings propagate from the inputs: device_put params replicated and
+    # cond/layout batch-sharded (parallel.mesh.shard_batch) and XLA runs the
+    # sampler data-parallel — per-rank sample dirs become per-shard outputs.
+    del mesh
+    return jax.jit(sample, static_argnames=("batch_size", "image_size", "channels"))

@@ -1,0 +1,137 @@
+"""End-to-end training tests: fused train step, EMA, DP over an 8-CPU mesh.
+
+This replaces the reference's GPU-only integration smoke test
+(`test_unittest.py`, SURVEY.md §4) with a real CPU-runnable pyramid: the
+train step must reduce the loss on a tiny dataset, and the same step must
+compile and run sharded over the virtual 8-device mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgdm_tpu.diffusion import GaussianDiffusion
+from sgdm_tpu.models import UNetModel
+from sgdm_tpu.parallel.mesh import create_mesh, shard_batch
+from sgdm_tpu.training.optim import create_optimizer, lambda_linear_schedule
+from sgdm_tpu.training.state import (
+    create_train_state,
+    make_eval_step,
+    make_sample_fn,
+    make_train_step,
+)
+
+
+def tiny_setup(cond_dim=0, mesh=None):
+    model = UNetModel(
+        model_channels=16, out_channels=1, num_res_blocks=1,
+        channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+        resblock_updown=True, cond_dim=cond_dim,
+    )
+    diffusion = GaussianDiffusion(num_timesteps=100)
+    tx = create_optimizer("adamw", lr=2e-3, wd=0.0, scheduler=None)
+    batch = {"image": jnp.zeros((8, 8, 8, 1))}
+    if cond_dim:
+        batch["cond"] = jnp.zeros((8, cond_dim))
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch, batch)
+    step = make_train_step(
+        model, diffusion, tx, cond_drop_prob=0.1 if cond_dim else 0.0,
+        mesh=mesh,
+    )
+    return model, diffusion, tx, state, step
+
+
+class TestLRSchedule:
+    def test_warmup_then_flat(self):
+        s = lambda_linear_schedule(1e-3, warm_up_steps=500)
+        assert float(s(0)) == pytest.approx(1e-9, rel=1e-3)
+        assert float(s(250)) == pytest.approx(0.5e-3, rel=1e-2)
+        assert float(s(500)) == pytest.approx(1e-3, rel=1e-4)
+        assert float(s(100000)) == pytest.approx(1e-3, rel=1e-4)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        # constant-image dataset → model must quickly beat the eps=0 baseline
+        _, _, _, state, step = tiny_setup()
+        rng = jax.random.PRNGKey(42)
+        x = jnp.full((8, 8, 8, 1), 0.5)
+        first = None
+        for i in range(60):
+            state, metrics = step(state, {"image": x}, rng)
+            if first is None:
+                first = float(metrics["loss"])
+        last = float(metrics["loss"])
+        assert last < first, (first, last)
+        assert np.isfinite(last)
+
+    def test_step_counter_and_ema(self):
+        _, _, _, state, step = tiny_setup()
+        x = jnp.full((8, 8, 8, 1), 0.5)
+        s1, _ = step(state, {"image": x}, jax.random.PRNGKey(0))
+        assert int(s1.step) == 1
+        assert int(s1.ema_updates) == 1
+        # warmup decay is tiny at n=1 ⇒ ema ≈ params
+        diff = jax.tree.map(lambda e, p: float(jnp.abs(e - p).max()),
+                            s1.ema_params, s1.params)
+        assert max(jax.tree.leaves(diff)) < 0.2
+
+    def test_conditional_training(self):
+        _, _, _, state, step = tiny_setup(cond_dim=6)
+        x = jnp.full((8, 8, 8, 1), 0.5)
+        cond = jax.nn.one_hot(jnp.arange(8) % 6, 6)
+        state, metrics = step(state, {"image": x, "cond": cond}, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestDataParallel:
+    def test_train_step_on_8_device_mesh(self):
+        cpus = jax.devices("cpu")
+        assert len(cpus) == 8, "conftest must force 8 CPU devices"
+        mesh = create_mesh(cpus)
+        _, _, _, state, step = tiny_setup(mesh=mesh)
+        x = jnp.full((8, 8, 8, 1), 0.5)
+        batch = shard_batch({"image": x}, mesh)
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+        # params replicated: every device has the full tree
+        leaf = jax.tree.leaves(state.params)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_sharded_matches_single_device(self):
+        mesh = create_mesh(jax.devices("cpu"))
+        model, diffusion, tx, state0, _ = tiny_setup()
+        step_single = make_train_step(model, diffusion, tx)
+        step_mesh = make_train_step(model, diffusion, tx, mesh=mesh)
+        x = jax.random.normal(jax.random.PRNGKey(9), (8, 8, 8, 1))
+        rng = jax.random.PRNGKey(1)
+        s_a, m_a = step_single(state0, {"image": x}, rng)
+        # donate_argnums invalidates state0 buffers → rebuild identically
+        _, _, _, state0b, _ = tiny_setup()
+        s_b, m_b = step_mesh(state0b, shard_batch({"image": x}, mesh), rng)
+        np.testing.assert_allclose(
+            float(m_a["loss"]), float(m_b["loss"]), rtol=1e-4
+        )
+
+
+class TestEvalAndSample:
+    def test_eval_step(self):
+        model, diffusion, _, state, _ = tiny_setup()
+        ev = make_eval_step(model, diffusion)
+        out = ev(state.params, {"image": jnp.zeros((4, 8, 8, 1))},
+                 jax.random.PRNGKey(0))
+        assert np.isfinite(float(out["loss"]))
+
+    def test_sample_fn_guided(self):
+        model, diffusion, _, state, _ = tiny_setup(cond_dim=6)
+        sample = make_sample_fn(
+            model, diffusion, sampling_method="ddim", num_steps=5,
+            cond_scale=2.0,
+        )
+        cond = jax.nn.one_hot(jnp.arange(4) % 6, 6)
+        imgs, inter = sample(state.ema_params, jax.random.PRNGKey(0),
+                             4, 8, 1, cond=cond)
+        assert imgs.shape == (4, 8, 8, 1)
+        assert imgs.dtype == jnp.uint8
+        assert inter["pred_x0"].shape[0] == 5
