@@ -1,0 +1,149 @@
+"""Benchmark: IN64 flagship training throughput (samples/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Primary metric (BASELINE.md): train samples/sec/chip on the IN64 headline
+config — unet_fast (model_channels=128, 64×64×3, cluster/label conditioning,
+cond_drop_prob=0.1), full fused train step (loss+grad+AdamW+EMA), bfloat16
+compute / float32 params.
+
+Baseline: the reference publishes no throughput numbers (BASELINE.md).  The
+A100 PyTorch estimate of ~250 samples/sec derives from the in-repo wall-time
+comments (`config/data/cifar100.yaml:15`: 1 IN32 epoch ≈ 1 h ⇒ ~356 img/s at
+32 px on the das6 GPU, scaled by the 4× pixel count to 64 px and up-rated to
+A100-class hardware with TF32 off, `main.py:34-35`).  vs_baseline is
+measured/250.
+
+Also reports DDIM sampler throughput as a secondary line on --all.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# The axon TPU plugin compiles remotely (~100-200 s per program); the
+# persistent cache makes repeat bench runs near-instant.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+
+BASELINE_SAMPLES_PER_SEC = 250.0  # estimated A100 torch baseline (see above)
+
+
+def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128):
+    import jax
+    import jax.numpy as jnp
+
+    from sgdm_tpu.diffusion import GaussianDiffusion
+    from sgdm_tpu.models import UNetModel
+    from sgdm_tpu.training.optim import create_optimizer
+    from sgdm_tpu.training.state import create_train_state, make_train_step
+
+    model = UNetModel(
+        model_channels=channels, out_channels=3, num_res_blocks=2,
+        channel_mult=(1, 2, 4), attention_resolutions=(4,), num_heads=8,
+        use_scale_shift_norm=True, resblock_updown=True, dropout=0.1,
+        cond_dim=cond_dim, dtype=jnp.bfloat16,
+    )
+    diffusion = GaussianDiffusion(num_timesteps=1000)
+    tx = create_optimizer("adamw", lr=1e-4, wd=0.01)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "image": jax.random.normal(rng, (batch_size, image_size, image_size, 3)),
+        "cond": jnp.zeros((batch_size, cond_dim)),
+    }
+    state = create_train_state(model, tx, rng, batch, {"cond": batch["cond"]})
+    step = make_train_step(model, diffusion, tx, cond_drop_prob=0.1)
+    return model, diffusion, state, step, batch
+
+
+def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
+                iters=20, warmup=3):
+    import jax
+
+    model, diffusion, state, step, batch = build(
+        batch_size, image_size, cond_dim, channels
+    )
+    rng = jax.random.PRNGKey(1)
+    for _ in range(warmup):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    sps = batch_size * iters / dt
+    return sps, float(metrics["loss"])
+
+
+def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
+               num_steps=50, reps=2):
+    import jax
+    import jax.numpy as jnp
+
+    from sgdm_tpu.training.state import make_sample_fn
+
+    model, diffusion, state, _, batch = build(
+        batch_size, image_size, cond_dim, channels
+    )
+    sample = make_sample_fn(
+        model, diffusion, sampling_method="ddim", num_steps=num_steps,
+        cond_scale=2.0,
+    )
+    cond = batch["cond"]
+    out, _ = sample(state.ema_params, jax.random.PRNGKey(0),
+                    batch_size, image_size, 3, cond=cond)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out, _ = sample(state.ema_params, jax.random.PRNGKey(i),
+                        batch_size, image_size, 3, cond=cond)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    steps_per_sec = num_steps * reps / dt
+    imgs_per_sec = batch_size * reps / dt
+    return steps_per_sec, imgs_per_sec
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true",
+                   help="tiny shapes for CPU smoke-testing the bench itself")
+    p.add_argument("--all", action="store_true", help="also report DDIM throughput")
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args()
+
+    if args.quick:
+        kw = dict(batch_size=args.batch_size or 8, image_size=16, cond_dim=10,
+                  channels=32, iters=4, warmup=1)
+    else:
+        kw = dict(batch_size=args.batch_size or 256)
+
+    sps, loss = bench_train(**kw)
+    result = {
+        "metric": "train_samples_per_sec_per_chip_in64",
+        "value": round(sps, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+    if args.all:
+        skw = (dict(batch_size=8, image_size=16, cond_dim=10, channels=32,
+                    num_steps=10, reps=1) if args.quick else {})
+        steps_ps, imgs_ps = bench_ddim(**skw)
+        print(json.dumps({
+            "metric": "ddim_steps_per_sec",
+            "value": round(steps_ps, 2),
+            "unit": "steps/sec",
+            "vs_baseline": None,
+            "ddim_imgs_per_sec": round(imgs_ps, 2),
+        }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

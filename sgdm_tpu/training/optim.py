@@ -30,6 +30,13 @@ def lambda_linear_schedule(
     """Parity: lr_scheduler.py:81-97 (single-cycle case, which is what the
     shipped config uses)."""
 
+    # YAML 1.1 parses exponent literals without a sign ("1.0e13") as strings;
+    # coerce everything so config-sourced values always work.
+    base_lr, f_start, f_max, f_min, cycle_length = map(
+        float, (base_lr, f_start, f_max, f_min, cycle_length)
+    )
+    warm_up_steps = int(warm_up_steps)
+
     def schedule(step):
         step = jnp.asarray(step, dtype=jnp.float32)
         warm = (f_max - f_start) / warm_up_steps * step + f_start

@@ -1,0 +1,353 @@
+"""The orchestration layer: SelfGuidedDiffusionTrainer.
+
+TPU-native replacement for `lightning_module.py:56-323 TaoDiffusion` +
+`main.py:99-139` (Lightning Trainer construction, fit, test):
+
+  * owns denoiser + EMA + diffusion process + optimizer (built from the same
+    Hydra-shaped sub-configs the reference threads into the LightningModule,
+    `config/sg/default.yaml:1-10`),
+  * epoch loop over the threaded loader with the fused jitted train step;
+    data parallelism over a `Mesh(('data',))` replaces `strategy=ddp`,
+  * per-step metric logging incl. `iters_per_sec` (lightning_module.py:
+    217-220) and the per-timestep loss scatter (epoch_stats_x/y, :227-229),
+  * validation: EMA + non-EMA val loss (:291-303) and guided sample grids at
+    cond_scale ∈ {0, s} (callbacks/my_callbacks.py ImageLogger); val FID via
+    the eval harness when FID dirs are configured, logged as
+    `val/fid_for_ckpt` to drive best-checkpoint selection,
+  * checkpoint best+last (orbax) and resume (`main.py:126-133`).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..conditioning.condition import prepare_condition_kwargs
+from ..config.engine import instantiate_from_config, to_container
+from ..diffusion import GaussianDiffusion
+from ..parallel.mesh import create_mesh, data_sharding, shard_batch
+from ..utils.logging import Tracker, get_tracker, logger, make_grid
+from .checkpoints import CheckpointManager
+from .optim import create_optimizer
+from .state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_sample_fn,
+    make_train_step,
+)
+
+__all__ = ["SelfGuidedDiffusionTrainer"]
+
+
+class SelfGuidedDiffusionTrainer:
+    def __init__(self, **hparams: Any):
+        self.hparams = hparams
+        self.condition_method = hparams.get("condition_method")
+        self.cond_dim = hparams.get("cond_dim") or 0
+        self.cond_drop_prob = hparams.get("cond_drop_prob") or 0.0
+        self.cond_scale = hparams.get("cond_scale")
+        self.use_ema = hparams.get("use_ema", True)
+        self.ema_decay = hparams.get("ema_decay", 0.9999)
+        self.seed = hparams.get("seed", 23)
+        self.debug = bool(hparams.get("debug", False))
+        self.log_dir = Path(hparams.get("log_dir", "./outputs/run"))
+        self.condition_cfg = to_container(hparams.get("condition") or {})
+        self.scale_type = self.condition_cfg.get("scale_type", "imagen")
+        self.dtp = float(hparams.get("dtp", 1.0))
+        self.ddim_eta = float(hparams.get("ddim_eta", 0.0))
+        self.log_num_per_prog = int(hparams.get("log_num_per_prog", 10))
+
+        compute_dtype = hparams.get("compute_dtype", "bfloat16")
+        self._dtype = jnp.bfloat16 if str(compute_dtype) in ("bf16", "bfloat16") else jnp.float32
+
+        # --- model (dynamic group) -----------------------------------
+        dyn = to_container(hparams["dynamic"])
+        self.model = instantiate_from_config(dyn, dtype=self._dtype)
+
+        # --- diffusion process (model group) -------------------------
+        diff_cfg = to_container(hparams["diffusion_model"])
+        self.diff_params = diff_cfg["params"]
+        self.diffusion: GaussianDiffusion = instantiate_from_config(diff_cfg)
+        self.clip_denoised = bool(self.diff_params.get("clip_denoised", True))
+
+        # --- optimizer (optim group) ---------------------------------
+        optim = to_container(hparams["optim"])
+        self.tx = create_optimizer(
+            name=optim["name"],
+            scheduler=optim.get("scheduler_config"),
+            **{k: v for k, v in optim["params"].items()},
+        )
+
+        # --- runtime -------------------------------------------------
+        pl_cfg = to_container(hparams.get("pl") or {})
+        strategy = (pl_cfg.get("trainer") or {}).get("strategy", "data_parallel")
+        self.mesh = create_mesh() if strategy == "data_parallel" else None
+        self.state: TrainState | None = None
+        self.tracker: Tracker | None = None
+        self.ckpt: CheckpointManager | None = None
+        self.global_step = 0
+        self._train_step = None
+        self._eval_step = None
+        self._data_cfg = to_container(hparams.get("data") or {})
+        self.fid_fn = None  # injected by the eval harness (set_fid_fn)
+
+    # ------------------------------------------------------------------
+    def set_fid_fn(self, fn) -> None:
+        """Inject the FID evaluator (eval harness), keeping training free of
+        eval-stack imports."""
+        self.fid_fn = fn
+
+    # ------------------------------------------------------------------
+    def _cond_kwargs(self, batch: Mapping[str, np.ndarray], training: bool) -> dict:
+        kw = prepare_condition_kwargs(
+            self.condition_method, batch,
+            cond_drop_prob=self.cond_drop_prob if self.condition_method else None,
+            training=training,
+            condition_cfg=self.condition_cfg,
+        )
+        return kw
+
+    def _device_batch(self, batch: Mapping[str, np.ndarray], training: bool = True) -> dict:
+        kw = self._cond_kwargs(batch, training)
+        out = {"image": jnp.asarray(batch["image"], dtype=jnp.float32)}
+        if kw.get("cond") is not None:
+            out["cond"] = jnp.asarray(kw["cond"], dtype=jnp.float32)
+        if kw.get("layout") is not None:
+            out["layout"] = jnp.asarray(kw["layout"], dtype=jnp.float32)
+        if self.mesh is not None:
+            out = shard_batch(out, self.mesh)
+        return out
+
+    def _init_state(self, example_batch: dict) -> None:
+        rng = jax.random.PRNGKey(self.seed)
+        cond_kwargs = {k: example_batch.get(k) for k in ("cond", "layout")}
+        self.state = create_train_state(
+            self.model, self.tx, rng, example_batch,
+            {k: v for k, v in cond_kwargs.items() if v is not None},
+        )
+        if self.mesh is not None:
+            repl = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
+            self.state = jax.device_put(self.state, repl)
+        n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
+        logger.info(f"model params: {n_params/1e6:.2f}M")
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        datamodule,
+        max_epochs: int = 1,
+        limit_train_batches: float | int = 1.0,
+        log_every_n_steps: int = 50,
+        resume_from: str | None = None,
+        fid_every_n_epoch: int | None = None,
+        vis_every_iter: int | None = None,
+    ) -> TrainState:
+        self.tracker = self.tracker or get_tracker(
+            self.log_dir, config=self.hparams,
+            use_wandb=bool((self.hparams.get("wandb") or {}).get("enable")),
+        )
+        self.ckpt = self.ckpt or CheckpointManager(self.log_dir / "ckpts")
+        data_cfg = self._data_cfg
+        fid_every_n_epoch = fid_every_n_epoch or data_cfg.get("fid_every_n_epoch", 10 ** 9)
+        vis_every_iter = vis_every_iter or data_cfg.get("vis_every_iter", 10 ** 9)
+
+        train_dl = datamodule.train_dataloader()
+        first = next(iter(train_dl))
+        example = self._device_batch(first, training=True)
+        if self.state is None:
+            self._init_state(example)
+        resumed = False
+        if resume_from:
+            self.state = self.ckpt.restore(self.state, resume_from)
+            self.global_step = int(self.state.step)
+            resumed = True
+            logger.warning(f"resumed from {resume_from} at step {self.global_step}")
+
+        self._train_step = self._train_step or make_train_step(
+            self.model, self.diffusion, self.tx,
+            cond_drop_prob=self.cond_drop_prob if self.condition_method else 0.0,
+            ema_decay=self.ema_decay, use_ema=self.use_ema, mesh=self.mesh,
+        )
+        rng = jax.random.PRNGKey(self.seed + 1)
+
+        limit = limit_train_batches
+        n_batches = len(train_dl)
+        max_batches = (
+            int(n_batches * limit) if isinstance(limit, float) else int(limit)
+        )
+
+        samples_seen = 0
+        for epoch in range(max_epochs):
+            train_dl.set_epoch(epoch)
+            t_epoch = time.perf_counter()
+            t_last = t_epoch
+            stats_x: list[np.ndarray] = []
+            stats_y: list[np.ndarray] = []
+            for i, raw in enumerate(train_dl):
+                if i >= max_batches:
+                    break
+                batch = self._device_batch(raw, training=True)
+                self.state, metrics = self._train_step(self.state, batch, rng)
+                self.global_step += 1
+                samples_seen += raw["image"].shape[0]
+
+                if self.global_step % log_every_n_steps == 0:
+                    now = time.perf_counter()
+                    iters_per_sec = log_every_n_steps / max(now - t_last, 1e-9)
+                    t_last = now
+                    loss = float(metrics["loss"])
+                    self.tracker.log(
+                        {
+                            "train/loss": loss,
+                            "train/ddpm_loss": float(metrics["ddpm_loss"]),
+                            "train/grad_norm": float(metrics["grad_norm"]),
+                            "train/iters_per_sec": iters_per_sec,
+                            "train/img_million": samples_seen / 1e6,
+                            "epoch": epoch,
+                        },
+                        step=self.global_step,
+                    )
+                    logger.info(
+                        f"epoch {epoch} step {self.global_step} "
+                        f"loss {loss:.4f} it/s {iters_per_sec:.2f}"
+                    )
+                stats_x.append(np.asarray(metrics["epoch_stats_x"]))
+                stats_y.append(np.asarray(metrics["epoch_stats_y"]))
+
+                if vis_every_iter and self.global_step % vis_every_iter == 0:
+                    self._log_images(raw, epoch)
+
+            # loss-vs-t scatter, binned (wandb_utils.vis_timestep_loss parity)
+            if stats_x:
+                x = np.concatenate(stats_x)
+                y = np.concatenate(stats_y)
+                bins = np.linspace(0, self.diffusion.num_timesteps, 21)
+                idx = np.digitize(x, bins) - 1
+                per_bin = {
+                    f"loss_vs_t/bin{j:02d}": float(y[idx == j].mean())
+                    for j in range(20)
+                    if np.any(idx == j)
+                }
+                self.tracker.log(per_bin, step=self.global_step)
+            epoch_time = time.perf_counter() - t_epoch
+            self.tracker.log(
+                {"epoch_time_sec": epoch_time, "epoch": epoch},
+                step=self.global_step,
+            )
+
+            self._run_validation(datamodule, epoch, fid_every_n_epoch, resumed)
+            resumed = False
+            self.ckpt.save_last(self.state, epoch)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def _run_validation(self, datamodule, epoch: int, fid_every_n_epoch: int,
+                        force_fid: bool) -> None:
+        try:
+            val_dl = datamodule.val_dataloader()
+        except KeyError:
+            return
+        self._eval_step = self._eval_step or make_eval_step(
+            self.model, self.diffusion, mesh=self.mesh,
+        )
+        rng = jax.random.PRNGKey(self.seed + 2 + epoch)
+        losses, losses_ema = [], []
+        for i, raw in enumerate(val_dl):
+            if i >= 8:  # val loss on a few batches is plenty for tracking
+                break
+            batch = self._device_batch(raw, training=False)
+            losses.append(float(self._eval_step(self.state.params, batch, rng)["loss"]))
+            losses_ema.append(
+                float(self._eval_step(self.state.ema_params, batch, rng)["loss"])
+            )
+        if losses:
+            self.tracker.log(
+                {"val/loss": float(np.mean(losses)),
+                 "val/loss_ema": float(np.mean(losses_ema)),
+                 "epoch": epoch},
+                step=self.global_step,
+            )
+
+        # FID-driven checkpoint selection (run_exp.py:197-204 parity):
+        # epoch 0 runs a 10%-sized FID; resume forces FID on first epoch
+        run_fid = (
+            self.fid_fn is not None
+            and ((epoch + 1) % fid_every_n_epoch == 0 or epoch == 0 or force_fid)
+        )
+        if run_fid:
+            frac = 0.1 if epoch == 0 else 1.0  # lightning_module.py:266-269
+            fid = float(self.fid_fn(self, epoch=epoch, fid_num_fraction=frac))
+            self.tracker.log({"val/fid_for_ckpt": fid, "epoch": epoch},
+                             step=self.global_step)
+            self.ckpt.save_best_if_improved(self.state, epoch, fid)
+
+    # ------------------------------------------------------------------
+    def _log_images(self, raw_batch: Mapping[str, np.ndarray], epoch: int,
+                    max_images: int = 8) -> None:
+        """Guided sample grids at cond_scale ∈ {0, s} (ImageLogger parity)."""
+        kw = self._cond_kwargs(raw_batch, training=False)
+        cond = kw.get("cond")
+        layout = kw.get("layout")
+        n = min(max_images, raw_batch["image"].shape[0])
+        img_size = raw_batch["image"].shape[1]
+        channels = raw_batch["image"].shape[-1]
+        scales = [self.cond_scale or 0.0]
+        if self.condition_method and self.cond_scale:
+            scales.append(0.0)
+        for s in scales:
+            sample = self._make_sampler(
+                sampling_method=self.diff_params.get("sampling_imagelogger", "ddim"),
+                num_steps=int(self.diff_params.get("num_timesteps_imagelogger", 250)),
+                cond_scale=float(s),
+            )
+            imgs, _ = sample(
+                self.state.ema_params,
+                jax.random.PRNGKey(self.global_step),
+                n, img_size, channels,
+                cond=None if cond is None else jnp.asarray(cond[:n], dtype=jnp.float32),
+                layout=None if layout is None else jnp.asarray(layout[:n], dtype=jnp.float32),
+            )
+            self.tracker.log(
+                {f"images/sample_scale{s}": make_grid(np.asarray(imgs))},
+                step=self.global_step,
+            )
+
+    def _make_sampler(self, sampling_method: str, num_steps: int, cond_scale: float):
+        return make_sample_fn(
+            self.model, self.diffusion,
+            sampling_method=sampling_method, num_steps=num_steps,
+            cond_scale=cond_scale, scale_type=self.scale_type,
+            ddim_eta=self.ddim_eta, clip_denoised=self.clip_denoised,
+            dtp=self.dtp, log_num_per_prog=self.log_num_per_prog,
+            mesh=self.mesh,
+        )
+
+    # ------------------------------------------------------------------
+    def sampling_progressive(
+        self,
+        batch_size: int,
+        image_size: int,
+        channels: int,
+        rng: jax.Array,
+        cond=None,
+        layout=None,
+        cond_scale: float | None = None,
+        sampling_method: str | None = None,
+        num_steps: int | None = None,
+        use_ema: bool = True,
+    ):
+        """Public sampling API (parity: lightning_module.py:136-203)."""
+        sample = self._make_sampler(
+            sampling_method or self.diff_params.get("sampling_test", "ddim"),
+            num_steps or int(self.diff_params.get("num_timesteps_test", 250)),
+            self.cond_scale if cond_scale is None else cond_scale,
+        )
+        params = self.state.ema_params if use_ema else self.state.params
+        return sample(params, rng, batch_size, image_size, channels,
+                      cond=cond, layout=layout)
