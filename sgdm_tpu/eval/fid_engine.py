@@ -1,0 +1,251 @@
+"""FID engine: images → inception features → metric dict.
+
+TPU-native rewrite of `eval/eval_fid.py`:
+
+  * `InceptionExtractor` replaces the three external stacks with one on-TPU
+    network; the *resize kernel* — the #1 parity trap (SURVEY.md §7) — is
+    explicit: `clean` = per-channel float32 PIL-bicubic on the 299×299 resize
+    exactly like clean-fid, `bilinear` = TF-style bilinear (what
+    torch-fidelity feeds its net) on device,
+  * `get_fid_dict` reproduces the reference's metric dict keys
+    (`eval_fid.py:138-191`): clean_fid_raw, sfid, fid_tf, is_tf_s1/s10 (+
+    stds), precision/recall/density/coverage on a 5k subsample,
+  * `sample_to_dir` is the sample→PNG-dir loop (`eval_fid.py:476-608`):
+    cycle the train loader, build condition kwargs, run the jitted guided
+    sampler, save `img{i}.png`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import numpy as np
+
+from ..utils.logging import logger
+from .inception import FIDInceptionV3, load_torch_weights, random_params
+from .metrics import FeatureStats, compute_prdc, frechet_distance, inception_score
+
+__all__ = ["InceptionExtractor", "get_fid_dict", "sample_to_dir", "cycle"]
+
+_WEIGHTS_ENV = "SGDM_INCEPTION_WEIGHTS"
+_DEFAULT_WEIGHTS = [
+    "/root/data/pt_inception-2015-12-05-6726825d.pth",
+    os.path.expanduser("~/.cache/sgdm/pt_inception-2015-12-05-6726825d.pth"),
+]
+
+
+def _find_weights() -> str | None:
+    cand = os.environ.get(_WEIGHTS_ENV)
+    paths = ([cand] if cand else []) + _DEFAULT_WEIGHTS
+    for p in paths:
+        if p and Path(p).exists():
+            return p
+    return None
+
+
+def _pil_bicubic_resize_float(img: np.ndarray, size: int = 299) -> np.ndarray:
+    """clean-fid's 'clean' resize: float32 PIL-bicubic per channel."""
+    from PIL import Image
+
+    img = img.astype(np.float32)
+    out = np.empty((size, size, img.shape[2]), dtype=np.float32)
+    for c in range(img.shape[2]):
+        ch = Image.fromarray(img[:, :, c], mode="F")
+        out[:, :, c] = np.asarray(
+            ch.resize((size, size), resample=Image.BICUBIC), dtype=np.float32
+        )
+    return out
+
+
+class InceptionExtractor:
+    """Jitted inception feature extraction with explicit resize modes."""
+
+    def __init__(self, weights_path: str | None = None, seed: int = 0,
+                 batch_size: int = 64):
+        import jax
+
+        self.batch_size = batch_size
+        self.model = FIDInceptionV3()
+        weights_path = weights_path or _find_weights()
+        if weights_path:
+            logger.info(f"inception weights: {weights_path}")
+            self.params = load_torch_weights(weights_path)
+            self.pretrained = True
+        else:
+            logger.warning(
+                "No pt_inception weights found (set SGDM_INCEPTION_WEIGHTS). "
+                "Using a DETERMINISTIC RANDOM inception network: FID values "
+                "are self-consistent but NOT comparable to published numbers."
+            )
+            self.params = random_params(seed)
+            self.pretrained = False
+
+        @jax.jit
+        def _forward(params, x299):
+            return self.model.apply({"params": params}, x299)
+
+        self._forward = _forward
+
+    # ------------------------------------------------------------------
+    def _resize_batch(self, imgs: np.ndarray, mode: str) -> np.ndarray:
+        """uint8 [B,H,W,3] → float32 [B,299,299,3] in [-1,1]."""
+        if mode == "clean":
+            out = np.stack([_pil_bicubic_resize_float(i) for i in imgs])
+            return out / 127.5 - 1.0
+        if mode == "bilinear":
+            import jax
+            import jax.numpy as jnp
+
+            x = jnp.asarray(imgs, dtype=jnp.float32)
+            x = jax.image.resize(
+                x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear"
+            )
+            return np.asarray(x) / 127.5 - 1.0
+        raise ValueError(mode)
+
+    def features_from_arrays(
+        self, imgs: np.ndarray, mode: str = "clean"
+    ) -> dict[str, np.ndarray]:
+        """imgs: uint8 [N,H,W,3].  Returns pool3/logits/spatial numpy."""
+        outs: dict[str, list[np.ndarray]] = {"pool3": [], "logits": [], "spatial": []}
+        for i in range(0, len(imgs), self.batch_size):
+            batch = self._resize_batch(imgs[i:i + self.batch_size], mode)
+            res = self._forward(self.params, batch)
+            for k in outs:
+                outs[k].append(np.asarray(res[k]))
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    def features_from_dir(
+        self, folder: str | Path, mode: str = "clean", max_items: int | None = None
+    ) -> dict[str, np.ndarray]:
+        from PIL import Image
+
+        files = sorted(
+            p for p in Path(folder).iterdir()
+            if p.suffix.lower() in (".png", ".jpg", ".jpeg")
+        )
+        if max_items:
+            files = files[:max_items]
+        assert files, f"no images in {folder}"
+        outs: dict[str, list[np.ndarray]] = {"pool3": [], "logits": [], "spatial": []}
+        for i in range(0, len(files), self.batch_size):
+            imgs = np.stack([
+                np.asarray(Image.open(f).convert("RGB")) for f in files[i:i + self.batch_size]
+            ])
+            batch = self._resize_batch(imgs, mode)
+            res = self._forward(self.params, batch)
+            for k in outs:
+                outs[k].append(np.asarray(res[k]))
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+
+# ----------------------------------------------------------------------
+
+def _mu_cov(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    st = FeatureStats()
+    st.append(feats)
+    return st.mean_cov()
+
+
+def get_fid_dict(
+    sample_dir: str | Path,
+    gt_dir: str | Path,
+    extractor: InceptionExtractor,
+    *,
+    debug: bool = False,
+    nearest_k: int = 5,
+    prdc_subsample: int = 5000,
+    seed: int = 0,
+) -> tuple[dict[str, float], float]:
+    """Full metric dict between two image folders.
+
+    Parity: eval_fid.py:138-191 get_fid_dict (same keys; one inception
+    stack instead of three).  Returns (dict, clean_fid_raw).
+    """
+    f_sample = extractor.features_from_dir(sample_dir, mode="clean")
+    f_real = extractor.features_from_dir(gt_dir, mode="clean")
+
+    out: dict[str, float] = {}
+    mu1, s1 = _mu_cov(f_sample["pool3"])
+    mu2, s2 = _mu_cov(f_real["pool3"])
+    clean_fid_raw = frechet_distance(mu1, s1, mu2, s2)
+    out["clean_fid_raw"] = clean_fid_raw
+
+    # sFID on the 2023-d spatial features (Nash et al.)
+    sm1, ss1 = _mu_cov(f_sample["spatial"])
+    sm2, ss2 = _mu_cov(f_real["spatial"])
+    out["sfid"] = frechet_distance(sm1, ss1, sm2, ss2)
+
+    if not debug:  # torch-fidelity-flavored extras skipped in debug (eval_fid.py:104)
+        fb_sample = extractor.features_from_dir(sample_dir, mode="bilinear")
+        fb_real = extractor.features_from_dir(gt_dir, mode="bilinear")
+        bm1, bs1 = _mu_cov(fb_sample["pool3"])
+        bm2, bs2 = _mu_cov(fb_real["pool3"])
+        out["fid_tf"] = frechet_distance(bm1, bs1, bm2, bs2)
+        for splits in (1, 10):
+            m, s = inception_score(fb_sample["logits"], splits=splits)
+            out[f"is_tf_s{splits}"] = m
+            out[f"is_std_tf_s{splits}"] = s
+
+    # PRDC on a 5k subsample (eval_fid.py:169-185)
+    rng = np.random.default_rng(seed)
+    n = min(len(f_real["pool3"]), len(f_sample["pool3"]), prdc_subsample)
+    ir = rng.choice(len(f_real["pool3"]), n, replace=False)
+    is_ = rng.choice(len(f_sample["pool3"]), n, replace=False)
+    out.update(compute_prdc(f_real["pool3"][ir], f_sample["pool3"][is_],
+                            nearest_k=nearest_k))
+    logger.warning(f"fid_dict: {out}")
+    return out, clean_fid_raw
+
+
+# ----------------------------------------------------------------------
+
+def cycle(dl: Iterable) -> Iterable:
+    """Endless loader. Parity: eval_fid.py:95-99."""
+    while True:
+        for batch in dl:
+            yield batch
+
+
+def sample_to_dir(
+    sample_fn: Callable[[dict[str, np.ndarray], int], np.ndarray],
+    loader: Iterable,
+    fid_num: int,
+    sample_dir: str | Path,
+    *,
+    save_gt_dir: str | Path | None = None,
+) -> Path:
+    """Sample ceil(fid_num/bs) batches and dump img{i}.png.
+
+    ``sample_fn(raw_batch, seed) -> uint8 [B,H,W,C]`` (conditioning + CFG
+    inside).  Parity: eval_fid.py:476-608 (core path, papervis hooks live in
+    the harness).
+    """
+    from PIL import Image
+
+    sample_dir = Path(sample_dir)
+    sample_dir.mkdir(parents=True, exist_ok=True)
+    if save_gt_dir is not None:
+        Path(save_gt_dir).mkdir(parents=True, exist_ok=True)
+    i = 0
+    for bi, batch in enumerate(cycle(loader)):
+        imgs = np.asarray(sample_fn(batch, bi))
+        for img in imgs:
+            if i >= fid_num:
+                return sample_dir
+            arr = img if img.shape[-1] > 1 else img[..., 0]
+            Image.fromarray(arr).save(sample_dir / f"img{i}.png")
+            if save_gt_dir is not None:
+                gt = np.clip(
+                    (np.asarray(batch["image"][i % len(batch["image"])]) + 1)
+                    * 127.5, 0, 255,
+                ).astype(np.uint8)
+                Image.fromarray(gt if gt.shape[-1] > 1 else gt[..., 0]).save(
+                    Path(save_gt_dir) / f"img{i}.png"
+                )
+            i += 1
+        if i >= fid_num:
+            break
+    return sample_dir

@@ -1,0 +1,144 @@
+"""Feature-extraction CLI: dataset → feat h5 (reference-compatible).
+
+TPU-native rewrite of `clustering/feat_extractor.py` +
+`clustering/utils/feat_nospatial.py:195-316 extract_feat`:
+
+  * CLI: `python -m sgdm_tpu.selfsup.feat_extractor --feat dino_vitb16
+    --ds in32p --bs 32 --image_size 32`,
+  * iterates train+val loaders, `transform_batch` (resize 224 +
+    imagenet-norm), `batch_encode_feat` (CLS token), writes the feat-h5
+    contract (SURVEY.md §2.7): datasets `train` [N, feat_dim] f32 / `val`,
+    `train_labels`/`val_labels` when the dataset has labels, attrs
+    {dataset_name, feat_from, feat_dim, version, is_grey} on
+    `all_attributes`, sibling `.json` with id2name/name2id.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from datetime import datetime
+from pathlib import Path
+
+import h5py
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..utils.logging import logger
+from .ssl_backbone import get_ssl_backbone
+
+__all__ = ["extract_feat"]
+
+
+def extract_feat(
+    dataset_train,
+    dataset_val,
+    dataset_name: str,
+    feat_from: str = "dino_vitb16",
+    batch_size: int = 32,
+    out_root: str = "~/data/sg_data/feat",
+    is_grey: bool = False,
+    ckpt_path: str | None = None,
+    version: str = "v4",
+) -> Path:
+    backbone = get_ssl_backbone(feat_from, ckpt_path=ckpt_path)
+    out_root = Path(out_root).expanduser()
+    out_root.mkdir(parents=True, exist_ok=True)
+    time_str = datetime.now().isoformat(timespec="hours")
+    out_path = out_root / (
+        f"{version}_{dataset_name}_{feat_from}_grey{int(is_grey)}_{time_str}.h5"
+    )
+
+    id2name: dict[int, str] = {}
+    with h5py.File(out_path, "w") as f:
+        for split, ds in [("train", dataset_train), ("val", dataset_val)]:
+            n = len(ds)
+            feats = f.create_dataset(split, (n, backbone.feat_dim), dtype="f4")
+            has_labels = "label_id" in ds[0] or "label" in ds[0]
+            labels = (
+                f.create_dataset(f"{split}_labels", (n,), dtype="i8")
+                if has_labels else None
+            )
+            dl = DataLoader(ds, batch_size=batch_size, shuffle=False,
+                            drop_last=False)
+            i = 0
+            for batch in dl:
+                imgs = batch["img4unsup"]
+                x = backbone.transform_batch(imgs)
+                feat = backbone.batch_encode_feat(x)
+                b = len(feat)
+                feats[i:i + b] = feat
+                if labels is not None:
+                    lab = batch.get("label_id")
+                    if lab is None:
+                        lab = np.argmax(batch["label"], axis=-1)
+                    labels[i:i + b] = lab
+                for j in range(b):
+                    idx = int(batch["id"][j])
+                    name = (
+                        ds.id2name(idx) if hasattr(ds, "id2name") else f"{idx}.jpg"
+                    )
+                    id2name[idx] = name
+                i += b
+                if i % (batch_size * 50) == 0:
+                    logger.info(f"{split}: {i}/{n}")
+            assert i == n, (i, n)
+
+        attrs = f.create_dataset("all_attributes", (1,))
+        attrs.attrs["dataset_name"] = dataset_name
+        attrs.attrs["feat_from"] = feat_from
+        attrs.attrs["feat_dim"] = backbone.feat_dim
+        attrs.attrs["version"] = version
+        attrs.attrs["is_grey"] = int(is_grey)
+
+    json.dump(
+        {
+            "id2name": {str(k): v for k, v in id2name.items()},
+            "name2id": {v: k for k, v in id2name.items()},
+        },
+        open(str(out_path).replace(".h5", ".json"), "w"),
+    )
+    logger.warning(f"saved feats to {out_path}")
+    return out_path
+
+
+def _build_datasets(ds: str, image_size: int, data_root: str, debug: bool):
+    """get_train_val_dl parity (dataset_common_utils.py:39-164)."""
+    if ds in ("in32p", "in64p"):
+        from ..data.imagenet_pickle import ImageNetPickle
+
+        mk = lambda train: ImageNetPickle(
+            root=data_root, train=train, image_size=image_size, debug=debug
+        )
+        return mk(True), mk(False)
+    if ds == "cifar10":
+        from ..data.cifar10 import CIFAR10
+
+        return (CIFAR10(data_root, train=True, debug=debug),
+                CIFAR10(data_root, train=False, debug=debug))
+    if ds == "synthetic":
+        from ..data.synthetic import SyntheticImages
+
+        return (SyntheticImages(size=image_size, length=512, seed=0),
+                SyntheticImages(size=image_size, length=128, seed=1))
+    raise ValueError(ds)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description="feat_extractor (TPU)")
+    p.add_argument("--feat", default="dino_vitb16")
+    p.add_argument("--ds", default="in32p")
+    p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--image_size", type=int, default=32)
+    p.add_argument("--data_root", default="~/data")
+    p.add_argument("--out_root", default="~/data/sg_data/feat")
+    p.add_argument("--ckpt", default=None)
+    p.add_argument("--debug", action="store_true")
+    a = p.parse_args()
+    train, val = _build_datasets(a.ds, a.image_size, a.data_root, a.debug)
+    extract_feat(train, val, dataset_name=a.ds, feat_from=a.feat,
+                 batch_size=a.bs, out_root=a.out_root, ckpt_path=a.ckpt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""SSL backbone zoo with a unified interface.
+
+TPU-native rewrite of `self_sl/ssl_backbone.py` — the unified contract is
+`{feat_dim, transform_batch, batch_encode_feat}` (:91-127 DINO branch):
+resize to 224 + ImageNet normalization, then the CLS token of the ViT.
+
+Backbones resolve torch checkpoints from local paths (zero-egress image;
+point `SGDM_SSL_CKPT_DIR` or pass ckpt_path) via the weight ports in
+`models.vit`.  Without a checkpoint a deterministic random backbone is
+used — features are self-consistent (fine for pipeline tests/clustering
+plumbing) but loudly flagged as not-pretrained.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.vit import load_dino_torch_weights, vit_base, vit_small
+from ..utils.logging import logger
+
+__all__ = ["get_ssl_backbone", "SSLBackbone", "IMAGENET_MEAN", "IMAGENET_STD"]
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+_CKPT_NAMES = {
+    "dino_vits16": "dino_deitsmall16_pretrain.pth",
+    "dino_vits8": "dino_deitsmall8_pretrain.pth",
+    "dino_vitb16": "dino_vitbase16_pretrain.pth",
+    "dino_vitb8": "dino_vitbase8_pretrain.pth",
+}
+
+
+class SSLBackbone:
+    """feat_dim / transform_batch / batch_encode_feat (ssl_backbone parity)."""
+
+    def __init__(self, name: str, model, params, image_size: int = 224):
+        self.name = name
+        self.model = model
+        self.params = params
+        self.image_size = image_size
+        self.feat_dim = model.embed_dim
+
+        @jax.jit
+        def _encode(params, x):
+            return model.apply({"params": params}, x, out="cls")
+
+        self._encode = _encode
+
+    def transform_batch(self, imgs_uint8: np.ndarray) -> jnp.ndarray:
+        """uint8 [B,H,W,3] → resized 224 + imagenet-normalized float32.
+
+        Parity: ssl_backbone.py transform_batch (resize 224 + norm).
+        """
+        x = jnp.asarray(imgs_uint8, dtype=jnp.float32) / 255.0
+        if x.shape[1] != self.image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], self.image_size, self.image_size, x.shape[3]),
+                method="bilinear",
+            )
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    def batch_encode_feat(self, batch: jnp.ndarray) -> np.ndarray:
+        """CLS-token features [B, feat_dim]."""
+        return np.asarray(self._encode(self.params, batch))
+
+
+def _find_ckpt(name: str, ckpt_path: str | None) -> str | None:
+    if ckpt_path and Path(ckpt_path).exists():
+        return ckpt_path
+    fname = _CKPT_NAMES.get(name)
+    for root in [os.environ.get("SGDM_SSL_CKPT_DIR"), "/root/data/ssl",
+                 os.path.expanduser("~/.cache/torch/hub/checkpoints")]:
+        if root and fname and (Path(root) / fname).exists():
+            return str(Path(root) / fname)
+    return None
+
+
+def get_ssl_backbone(
+    name: str = "dino_vitb16", image_size: int = 224,
+    ckpt_path: str | None = None, seed: int = 0,
+) -> SSLBackbone:
+    """Parity: self_sl/ssl_backbone.py:373 get_ssl_backbone (DINO family;
+    MAE/MSN/SimCLR load through the same ViT port when checkpoints exist)."""
+    builders = {
+        "dino_vits16": lambda: vit_small(16),
+        "dino_vits8": lambda: vit_small(8),
+        "dino_vitb16": lambda: vit_base(16),
+        "dino_vitb8": lambda: vit_base(8),
+        "mae_vitb16": lambda: vit_base(16),
+        "msn_vits16": lambda: vit_small(16),
+        "msn_vitb16": lambda: vit_base(16),
+    }
+    if name not in builders:
+        raise ValueError(f"unknown ssl backbone {name}; have {list(builders)}")
+    model = builders[name]()
+    path = _find_ckpt(name, ckpt_path)
+    if path:
+        logger.info(f"loading {name} weights from {path}")
+        params = load_dino_torch_weights(path)
+    else:
+        logger.warning(
+            f"No checkpoint for {name} (set SGDM_SSL_CKPT_DIR). Using a "
+            f"DETERMINISTIC RANDOM backbone — features are self-consistent "
+            f"but not pretrained."
+        )
+        x = jnp.zeros((1, image_size, image_size, 3))
+        params = model.init(jax.random.PRNGKey(seed), x)["params"]
+    return SSLBackbone(name, model, params, image_size=image_size)

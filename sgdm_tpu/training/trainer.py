@@ -87,7 +87,15 @@ class SelfGuidedDiffusionTrainer:
         # --- runtime -------------------------------------------------
         pl_cfg = to_container(hparams.get("pl") or {})
         strategy = (pl_cfg.get("trainer") or {}).get("strategy", "data_parallel")
-        self.mesh = create_mesh() if strategy == "data_parallel" else None
+        if strategy == "data_parallel":
+            import os
+
+            devices = (
+                jax.devices("cpu") if os.environ.get("SGDM_FORCE_CPU") else None
+            )
+            self.mesh = create_mesh(devices)
+        else:
+            self.mesh = None
         self.state: TrainState | None = None
         self.tracker: Tracker | None = None
         self.ckpt: CheckpointManager | None = None
@@ -157,6 +165,7 @@ class SelfGuidedDiffusionTrainer:
         fid_every_n_epoch = fid_every_n_epoch or data_cfg.get("fid_every_n_epoch", 10 ** 9)
         vis_every_iter = vis_every_iter or data_cfg.get("vis_every_iter", 10 ** 9)
 
+        self.datamodule = datamodule  # exposed for the eval harness
         train_dl = datamodule.train_dataloader()
         first = next(iter(train_dl))
         example = self._device_batch(first, training=True)
