@@ -103,6 +103,7 @@ class VisionTransformer(nn.Module):
     depth: int = 12
     num_heads: int = 6
     mlp_ratio: float = 4.0
+    pretrain_img_size: int = 224  # grid the pos_embed param is stored at
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,8 +119,9 @@ class VisionTransformer(nn.Module):
 
         cls = self.param("cls_token", nn.initializers.zeros,
                          (1, 1, self.embed_dim))
+        g0 = self.pretrain_img_size // p
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
-                         (1, 1 + gh * gw, self.embed_dim))
+                         (1, 1 + g0 * g0, self.embed_dim))
         # params stored at the checkpoint grid; interpolate at apply time
         pos = interpolate_pos_embed(pos, (gh, gw))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)), x],
