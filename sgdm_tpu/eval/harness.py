@@ -196,6 +196,54 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
         for s in exp.get("ablate_scale_list", [6]):
             one_run(f"ablate_s{s}", float(s))
 
+    if exp.get("condmix"):
+        # condition-mixing FID: interpolate consecutive conditions
+        # (run_exp.py → sampling_related.py condmix_4test; the mixing itself
+        # uses slerp chains, utils.batch_ops.batch_interp_condition)
+        from ..utils.batch_ops import batch_interp_condition
+
+        interp = int((exp.get("condmix_c") or {}).get("interp", 3))
+
+        base_fn = _make_batch_sample_fn(
+            trainer, float(trainer.cond_scale or 0), sampling_method, num_steps
+        )
+
+        def condmix_fn(batch, seed):
+            batch = dict(batch)
+            m = trainer.condition_method
+            if m in batch and np.asarray(batch[m]).ndim == 2:
+                cond = np.asarray(batch[m])
+                mixed = batch_interp_condition(cond, interp)[: len(cond)]
+                if len(mixed) < len(cond):
+                    mixed = np.concatenate([mixed, cond[len(mixed):]])
+                batch[m] = mixed
+            return base_fn(batch, seed)
+
+        sample_dir = log_dir / f"test_condmix{_process_suffix()}"
+        sample_to_dir(condmix_fn, train_dl, fid_num, sample_dir)
+        d, fid = get_fid_dict(sample_dir, gt_dir, _extractor(), debug=debug)
+        results.update({f"test/condmix/{k}": v for k, v in d.items()})
+        logger.warning(f"test[condmix] fid={fid}")
+
+    # vis toggles (run_exp.py:26-71 run_test_vis)
+    vis = cfg.get("vis") or {}
+    papervis_dir = log_dir / "papervis"
+    if vis.get("knn"):
+        from .knn_eval import get_knn_eval_dict
+
+        sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"
+        if sample_dir.exists():
+            results.update(get_knn_eval_dict(
+                sample_dir, gt_dir, papervis_dir=papervis_dir
+            ))
+    if vis.get("tsne"):
+        from .tsne import kluster_tsne_vis
+
+        sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"
+        if sample_dir.exists():
+            kluster_tsne_vis(sample_dir, gt_dir,
+                             save_path=papervis_dir / "tsne.png")
+
     (log_dir / "test_results.json").write_text(json.dumps(results, indent=2))
     return results
 

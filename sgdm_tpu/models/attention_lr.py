@@ -50,6 +50,7 @@ class AttentionLR(nn.Module):
     heads: int = 8
     dim_head: int = 64
     context_dim: int | None = None
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,9 +86,18 @@ class AttentionLR(nn.Module):
             v = jnp.concatenate([cv.astype(v.dtype), v], axis=1)
 
         # single-head K shared across query heads (multi-query attention)
-        sim = jnp.einsum("bnhd,bjd->bhnj", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnj,bjd->bnhd", attn, v).reshape(b, n, inner)
+        from .layers import _pallas_ok
+
+        if _pallas_ok(self.use_pallas):
+            from ..ops.pallas.attention import fused_null_kv_attention
+
+            out = fused_null_kv_attention(q, k, v).reshape(b, n, inner)
+        else:
+            sim = jnp.einsum(
+                "bnhd,bjd->bhnj", q, k, preferred_element_type=jnp.float32
+            )
+            attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhnj,bjd->bnhd", attn, v).reshape(b, n, inner)
 
         out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
         out = GammaLayerNorm(name="out_norm")(out)

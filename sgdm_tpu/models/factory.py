@@ -27,7 +27,7 @@ __all__ = ["create_denoiser"]
 _COMMON_KEYS = {
     "model_channels", "out_channels", "num_res_blocks",
     "attention_resolutions", "channel_mult", "dropout", "num_heads",
-    "num_head_channels", "use_scale_shift_norm", "use_checkpoint",
+    "num_head_channels", "use_scale_shift_norm", "use_checkpoint", "use_pallas",
     "cond_dim", "condition_method",
 }
 _UNET_KEYS = _COMMON_KEYS | {"resblock_updown"}

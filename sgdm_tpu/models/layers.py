@@ -52,27 +52,68 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) 
     return emb
 
 
+def _pallas_ok(use_pallas: bool) -> bool:
+    """Pallas TPU kernels are usable only when the computation will actually
+    land on the TPU: the axon plugin registers as backend 'tpu', but tests
+    pin `jax_default_device` to a CPU device — honor that."""
+    if not use_pallas or jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 class GroupNorm32(nn.Module):
-    """32-group GroupNorm computed in float32 regardless of activation dtype.
+    """32-group GroupNorm computed in float32 regardless of activation dtype,
+    with an optional fused GN(+FiLM)+SiLU Pallas path.
 
     Parity: openaimodel normalization() + GroupNorm32 (util.py:199-215).
+    The group count is the largest divisor of C that is <= num_groups —
+    identical to the reference's fixed 32 groups whenever C % 32 == 0
+    (always true for the shipped presets).
     """
 
     num_groups: int = 32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        film_scale: jax.Array | None = None,
+        film_shift: jax.Array | None = None,
+        silu: bool = False,
+    ) -> jax.Array:
+        c = x.shape[-1]
+        groups = math.gcd(self.num_groups, c)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        if silu and x.ndim == 4 and _pallas_ok(self.use_pallas):
+            from ..ops.pallas.groupnorm import fused_groupnorm_silu
+
+            return fused_groupnorm_silu(
+                x, scale, bias,
+                None if film_scale is None else film_scale.reshape(x.shape[0], c),
+                None if film_shift is None else film_shift.reshape(x.shape[0], c),
+                groups, 1e-5,
+            )
+
         orig = x.dtype
-        x = nn.GroupNorm(
-            # largest divisor of C that is <= num_groups; identical to the
-            # reference's fixed 32 groups whenever C % 32 == 0 (always true
-            # for the shipped presets, whose channels are multiples of 32)
-            num_groups=math.gcd(self.num_groups, x.shape[-1]),
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return x.astype(orig)
+        x32 = x.astype(jnp.float32)
+        shape = x32.shape
+        xg = x32.reshape(*shape[:-1], groups, c // groups)
+        axes = tuple(range(1, x32.ndim - 1)) + (x32.ndim,)
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = xg.var(axis=axes, keepdims=True)
+        xn = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(shape)
+        h = xn * scale + bias
+        if film_scale is not None:
+            fs = film_scale.reshape(shape[0], *((1,) * (x.ndim - 2)), c)
+            fsh = film_shift.reshape(shape[0], *((1,) * (x.ndim - 2)), c)
+            h = h * (1.0 + fs) + fsh
+        if silu:
+            h = nn.silu(h)
+        return h.astype(orig)
 
 
 class Upsample(nn.Module):
@@ -126,6 +167,7 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     use_conv_skip: bool = False
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,8 +175,7 @@ class ResBlock(nn.Module):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
 
-        h = GroupNorm32()(x)
-        h = nn.silu(h)
+        h = GroupNorm32(use_pallas=self.use_pallas, name="in_norm")(x, silu=True)
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype)(h)
             x = Upsample(use_conv=False, dtype=self.dtype)(x)
@@ -152,12 +193,15 @@ class ResBlock(nn.Module):
 
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32()(h) * (1 + scale) + shift
-            h = nn.silu(h)
+            # fused GN + FiLM + SiLU (openaimodel.py:313-315)
+            h = GroupNorm32(use_pallas=self.use_pallas, name="out_norm")(
+                h, film_scale=scale, film_shift=shift, silu=True
+            )
         else:
             h = h + emb_out
-            h = GroupNorm32()(h)
-            h = nn.silu(h)
+            h = GroupNorm32(use_pallas=self.use_pallas, name="out_norm")(
+                h, silu=True
+            )
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = nn.Conv(
             c_out, (3, 3), padding=1, dtype=self.dtype,
@@ -184,6 +228,7 @@ class SelfAttentionBlock(nn.Module):
 
     num_heads: int = 8
     num_head_channels: int = -1
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -196,20 +241,30 @@ class SelfAttentionBlock(nn.Module):
             heads = c // self.num_head_channels
         d = c // heads
 
-        h = GroupNorm32()(x).reshape(b, hh * ww, c)
+        h = GroupNorm32(name="norm")(x).reshape(b, hh * ww, c)
         qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3, heads, d), 3, axis=2)
         q = q.squeeze(2)  # [b, n, heads, d]
         k = k.squeeze(2)
         v = v.squeeze(2)
 
-        scale = 1.0 / math.sqrt(math.sqrt(d))
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q * scale, k * scale,
-            preferred_element_type=jnp.float32,
-        )
-        weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, hh * ww, c)
+        if _pallas_ok(self.use_pallas):
+            from ..ops.pallas.attention import fused_self_attention
+
+            out = fused_self_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
+        else:
+            scale = 1.0 / math.sqrt(math.sqrt(d))
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q * scale, k * scale,
+                preferred_element_type=jnp.float32,
+            )
+            weights = jax.nn.softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).astype(x.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, hh * ww, c)
         out = nn.DenseGeneral(
             c, dtype=self.dtype, kernel_init=zeros_init, name="proj_out"
         )(out)

@@ -73,6 +73,7 @@ class UNetBackbone(nn.Module):
     use_ca_block: bool = False
     context_dim: int | None = None
     use_checkpoint: bool = False
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     def _attn(self, ch: int, name: str):
@@ -85,11 +86,11 @@ class UNetBackbone(nn.Module):
                 dim_head = self.num_head_channels
             return AttentionLR(
                 heads=heads, dim_head=dim_head, context_dim=self.context_dim,
-                dtype=self.dtype, name=name,
+                use_pallas=self.use_pallas, dtype=self.dtype, name=name,
             )
         return SelfAttentionBlock(
             num_heads=self.num_heads, num_head_channels=self.num_head_channels,
-            dtype=self.dtype, name=name,
+            use_pallas=self.use_pallas, dtype=self.dtype, name=name,
         )
 
     @nn.compact
@@ -109,6 +110,7 @@ class UNetBackbone(nn.Module):
         common = dict(
             dropout=self.dropout,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
         )
 
@@ -199,6 +201,7 @@ class UNetModel(nn.Module):
     cond_dim: int = 0
     condition_method: str | None = None
     use_checkpoint: bool = False
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -245,6 +248,7 @@ class UNetModel(nn.Module):
             resblock_updown=self.resblock_updown,
             use_ca_block=False,
             use_checkpoint=self.use_checkpoint,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="backbone",
         )(x.astype(self.dtype), emb, None, train)
@@ -278,6 +282,7 @@ class UNetCAModel(nn.Module):
     use_cls_token_as_pooled: bool = True
     condition_method: str | None = None
     use_checkpoint: bool = False
+    use_pallas: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -366,6 +371,7 @@ class UNetCAModel(nn.Module):
             use_ca_block=True,
             context_dim=self.context_dim,
             use_checkpoint=self.use_checkpoint,
+            use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="backbone",
         )(x.astype(self.dtype), emb, context.astype(self.dtype), train)

@@ -91,14 +91,20 @@ def make_train_step(
     cond_drop_prob: float = 0.0,
     ema_decay: float = 0.9999,
     use_ema: bool = True,
+    accumulate_grad_batches: int = 1,
     mesh: Mesh | None = None,
 ) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
     """Build the fused train step.  ``batch`` must contain 'image' (NHWC,
-    [-1,1]) and any condition tensors under 'cond'/'layout' keys."""
+    [-1,1]) and any condition tensors under 'cond'/'layout' keys.
 
-    def train_step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
-        loss_rng, dropout_rng = jax.random.split(rng)
+    ``accumulate_grad_batches`` > 1 scans over micro-batches inside the
+    jitted step (`main.py:104-105` accumulate_grad_batches → lax.scan
+    micro-batching, SURVEY.md §5.8): the global batch dim is split
+    [accum, micro, ...] and gradients are averaged before one optimizer
+    update, matching Lightning's semantics.
+    """
+
+    def _loss_and_grads(params, batch, loss_rng, dropout_rng):
         cond_kwargs = {
             k: batch[k] for k in ("cond", "layout") if batch.get(k) is not None
         }
@@ -110,7 +116,49 @@ def make_train_step(
                 cond_kwargs=cond_kwargs, cond_drop_prob=cond_drop_prob,
             )
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        loss_rng, dropout_rng = jax.random.split(rng)
+
+        if accumulate_grad_batches <= 1:
+            (loss, aux), grads = _loss_and_grads(
+                state.params, batch, loss_rng, dropout_rng
+            )
+        else:
+            k = accumulate_grad_batches
+
+            def split(x):
+                b = x.shape[0]
+                assert b % k == 0, (b, k)
+                return x.reshape(k, b // k, *x.shape[1:])
+
+            micro = {kk: split(v) for kk, v in batch.items() if v is not None}
+
+            def body(carry, inp):
+                grads_acc, loss_acc = carry
+                mb, i = inp
+                (l, aux), g = _loss_and_grads(
+                    state.params, mb,
+                    jax.random.fold_in(loss_rng, i),
+                    jax.random.fold_in(dropout_rng, i),
+                )
+                grads_acc = jax.tree.map(lambda a, b: a + b, grads_acc, g)
+                return (grads_acc, loss_acc + l), aux
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss), auxs = jax.lax.scan(
+                body, (zero_grads, jnp.zeros(())),
+                ({kk: v for kk, v in micro.items()}, jnp.arange(k)),
+            )
+            grads = jax.tree.map(lambda g: g / k, grads)
+            loss = loss / k
+            aux = {
+                "ddpm_loss": auxs["ddpm_loss"].mean(),
+                "epoch_stats_x": auxs["epoch_stats_x"].reshape(-1),
+                "epoch_stats_y": auxs["epoch_stats_y"].reshape(-1),
+            }
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

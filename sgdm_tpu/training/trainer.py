@@ -178,10 +178,13 @@ class SelfGuidedDiffusionTrainer:
             resumed = True
             logger.warning(f"resumed from {resume_from} at step {self.global_step}")
 
+        pl_trainer = (to_container(self.hparams.get("pl") or {}).get("trainer") or {})
         self._train_step = self._train_step or make_train_step(
             self.model, self.diffusion, self.tx,
             cond_drop_prob=self.cond_drop_prob if self.condition_method else 0.0,
-            ema_decay=self.ema_decay, use_ema=self.use_ema, mesh=self.mesh,
+            ema_decay=self.ema_decay, use_ema=self.use_ema,
+            accumulate_grad_batches=int(pl_trainer.get("accumulate_grad_batches", 1)),
+            mesh=self.mesh,
         )
         rng = jax.random.PRNGKey(self.seed + 1)
 
@@ -246,7 +249,8 @@ class SelfGuidedDiffusionTrainer:
                 self.tracker.log(per_bin, step=self.global_step)
             epoch_time = time.perf_counter() - t_epoch
             self.tracker.log(
-                {"epoch_time_sec": epoch_time, "epoch": epoch},
+                {"epoch_time_sec": epoch_time, "epoch": epoch,
+                 **self._device_stats()},
                 step=self.global_step,
             )
 
@@ -299,33 +303,75 @@ class SelfGuidedDiffusionTrainer:
     # ------------------------------------------------------------------
     def _log_images(self, raw_batch: Mapping[str, np.ndarray], epoch: int,
                     max_images: int = 8) -> None:
-        """Guided sample grids at cond_scale ∈ {0, s} (ImageLogger parity)."""
+        """ImageLogger parity (callbacks/my_callbacks.py:45-343): EMA-scope
+        guided grids at cond_scale ∈ {0, s}, a same-condition batch, and a
+        condition-interpolation (slerp) chain; plus progressive-denoising
+        chains."""
+        from ..utils.batch_ops import batch_interp_condition, batch_to_samecondition
+
+        vis_cfg = to_container(self.hparams.get("vis") or {})
+        sampler_kw = dict(
+            sampling_method=self.diff_params.get("sampling_imagelogger", "ddim"),
+            num_steps=int(self.diff_params.get("num_timesteps_imagelogger", 250)),
+        )
         kw = self._cond_kwargs(raw_batch, training=False)
         cond = kw.get("cond")
         layout = kw.get("layout")
         n = min(max_images, raw_batch["image"].shape[0])
         img_size = raw_batch["image"].shape[1]
         channels = raw_batch["image"].shape[-1]
+
+        def run(tag, s, cond_arr, layout_arr, log_chain=False):
+            sample = self._make_sampler(cond_scale=float(s), **sampler_kw)
+            imgs, inter = sample(
+                self.state.ema_params,
+                jax.random.PRNGKey(self.global_step),
+                len(cond_arr) if cond_arr is not None else n,
+                img_size, channels,
+                cond=None if cond_arr is None else jnp.asarray(cond_arr, jnp.float32),
+                layout=None if layout_arr is None else jnp.asarray(layout_arr, jnp.float32),
+            )
+            log = {f"images/{tag}": make_grid(np.asarray(imgs))}
+            if log_chain:
+                chain = np.asarray(inter["pred_x0"])  # [K,B,H,W,C]
+                k, b = chain.shape[:2]
+                rows = chain.transpose(1, 0, 2, 3, 4).reshape(k * b, *chain.shape[2:])
+                log[f"images/{tag}_chain"] = make_grid(rows, ncol=k)
+            self.tracker.log(log, step=self.global_step)
+
         scales = [self.cond_scale or 0.0]
         if self.condition_method and self.cond_scale:
             scales.append(0.0)
+        c_n = None if cond is None else np.asarray(cond[:n])
+        l_n = None if layout is None else np.asarray(layout[:n])
         for s in scales:
-            sample = self._make_sampler(
-                sampling_method=self.diff_params.get("sampling_imagelogger", "ddim"),
-                num_steps=int(self.diff_params.get("num_timesteps_imagelogger", 250)),
-                cond_scale=float(s),
-            )
-            imgs, _ = sample(
-                self.state.ema_params,
-                jax.random.PRNGKey(self.global_step),
-                n, img_size, channels,
-                cond=None if cond is None else jnp.asarray(cond[:n], dtype=jnp.float32),
-                layout=None if layout is None else jnp.asarray(layout[:n], dtype=jnp.float32),
-            )
-            self.tracker.log(
-                {f"images/sample_scale{s}": make_grid(np.asarray(imgs))},
-                step=self.global_step,
-            )
+            run(f"sample_scale{s}", s, c_n, l_n, log_chain=bool(vis_cfg.get("chainvis")))
+
+        if self.condition_method and cond is not None:
+            if vis_cfg.get("samecond", True):
+                same = batch_to_samecondition({"c": np.asarray(cond[:n])}, 4)["c"]
+                same_l = (
+                    batch_to_samecondition({"l": np.asarray(layout[:n])}, 4)["l"]
+                    if layout is not None else None
+                )
+                run("samecondition", self.cond_scale or 1.0, same, same_l)
+            if vis_cfg.get("interp") and np.asarray(cond).ndim == 2 and n >= 2:
+                mixed = batch_interp_condition(np.asarray(cond[:3]), interp_num=4)
+                run("cond_interp", self.cond_scale or 1.0, mixed,
+                    None if layout is None
+                    else np.repeat(np.asarray(layout[:1]), len(mixed), axis=0))
+
+    def _device_stats(self) -> dict[str, float]:
+        """Epoch wall-time companion: peak device memory (CUDACallback
+        parity, callbacks/callback_common.py:10-30)."""
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            return {
+                "peak_hbm_mib": stats.get("peak_bytes_in_use", 0) / 2**20,
+                "hbm_in_use_mib": stats.get("bytes_in_use", 0) / 2**20,
+            }
+        except Exception:
+            return {}
 
     def _make_sampler(self, sampling_method: str, num_steps: int, cond_scale: float):
         return make_sample_fn(
