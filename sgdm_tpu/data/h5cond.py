@@ -65,6 +65,7 @@ class ConditionLookup:
         split_name: str,
         dataset_name: str,
         *,
+        h5_file2: str | None = None,
         label_list: np.ndarray | None = None,
         num_classes: int | None = None,
         condition_cfg: Mapping[str, Any] | None = None,
@@ -125,6 +126,26 @@ class ConditionLookup:
             )
         if self.method in ("centroid", "labelcentroid"):
             self.centroid_list = self._h5["centroids"]
+        if self.method == "patchcluster":
+            # per-patch cluster ids [N, patches] (unsupervised_patchcluster.py)
+            self.cluster_k = int(self._h5["all_attributes"].attrs["cluster_k"])
+            self.cluster_list = self._h5[split_name]
+        if self.method == "clustermix":
+            # two cluster h5s concatenated (unsupervised_clustermix.py)
+            import h5py
+
+            assert h5_file2, "clustermix requires h5_file2"
+            self._h5b = h5py.File(Path(h5_file2).expanduser().resolve(), "r")
+            self.cluster_k = int(self._h5["all_attributes"].attrs["cluster_k"])
+            self.cluster_k2 = int(self._h5b["all_attributes"].attrs["cluster_k"])
+            self.cluster_list = self._h5[split_name]
+            self.cluster_list2 = self._h5b[split_name]
+            self.cluster_list_random = self._rng.integers(
+                0, self.cluster_k, size=self.cluster_list.shape
+            )
+            self.cluster_list_random2 = self._rng.integers(
+                0, self.cluster_k2, size=self.cluster_list2.shape
+            )
         if self.method == "knn_feat":
             knn_cfg = self.condition_cfg.get("knn_feat") or {}
             self.knn_k = knn_cfg.get("knn_k")
@@ -196,6 +217,19 @@ class ConditionLookup:
             centroid = np.asarray(self.centroid_list[cid], dtype=np.float32)
             out["labelcentroid"] = np.concatenate([out["label"], centroid])
             out["cluster_id"] = np.int64(cid)
+        elif m == "patchcluster":
+            row = self._h5_row(index)
+            ids = np.asarray(self.cluster_list[row], dtype=np.int64)  # [patches]
+            out["patchcluster"] = np.eye(self.cluster_k, dtype=np.float32)[ids]
+        elif m == "clustermix":
+            row = self._h5_row(index)
+            a = _one_hot(int(np.asarray(self.cluster_list[row]).item()), self.cluster_k)
+            b = _one_hot(int(np.asarray(self.cluster_list2[row]).item()), self.cluster_k2)
+            out["clustermix"] = np.concatenate([a, b])
+            out["clustermix_random"] = np.concatenate([
+                _one_hot(int(self.cluster_list_random[row]), self.cluster_k),
+                _one_hot(int(self.cluster_list_random2[row]), self.cluster_k2),
+            ])
         elif m == "knn_feat":
             row = self._h5_row(index)
             nns = np.asarray(self.nns_list[row])

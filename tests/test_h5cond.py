@@ -127,3 +127,34 @@ class TestLost:
         lk = LostLookup(str(path))
         np.testing.assert_array_equal(lk.get_bbox("img0.jpg"), [1, 2, 30, 40])
         assert lk.get_clusterid("img0.jpg") == 7
+
+
+class TestClusterMixAndPatch:
+    def test_clustermix_concat(self, cluster_h5, tmp_path):
+        import shutil
+
+        h5b = tmp_path / "v4_test_cluster_b.h5"
+        shutil.copy(cluster_h5, h5b)
+        lk = ConditionLookup(
+            "clustermix", str(cluster_h5), "train", "test_ds",
+            h5_file2=str(h5b), id2name=id2name,
+        )
+        out = lk.get(2)
+        assert out["clustermix"].shape == (K + K,)
+        assert out["clustermix"].sum() == 2.0
+        assert out["clustermix_random"].shape == (K + K,)
+
+    def test_patchcluster(self, tmp_path):
+        path = tmp_path / "v4_patch.h5"
+        rng = np.random.RandomState(0)
+        with h5py.File(path, "w") as f:
+            f.create_dataset("train", data=rng.randint(0, 5, (N, 9)))
+            d = f.create_dataset("all_attributes", (1,))
+            d.attrs["cluster_k"] = 5
+        json.dump({"name2id": {f"img{i}.jpg": i for i in range(N)}},
+                  open(str(path).replace(".h5", ".json"), "w"))
+        lk = ConditionLookup("patchcluster", str(path), "train", "test_ds",
+                             id2name=id2name)
+        out = lk.get(1)
+        assert out["patchcluster"].shape == (9, 5)
+        np.testing.assert_allclose(out["patchcluster"].sum(-1), 1.0)
