@@ -73,7 +73,7 @@ class UNetBackbone(nn.Module):
     use_ca_block: bool = False
     context_dim: int | None = None
     use_checkpoint: bool = False
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     def _attn(self, ch: int, name: str):
@@ -201,7 +201,7 @@ class UNetModel(nn.Module):
     cond_dim: int = 0
     condition_method: str | None = None
     use_checkpoint: bool = False
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -282,7 +282,7 @@ class UNetCAModel(nn.Module):
     use_cls_token_as_pooled: bool = True
     condition_method: str | None = None
     use_checkpoint: bool = False
-    use_pallas: bool = True
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -166,3 +166,43 @@ def write_lost_h5(
             f.create_dataset(f"{name}_clusterid", data=np.int64(lab))
     logger.warning(f"saved LOST h5: {out_path}")
     return out_path
+
+
+def main() -> None:
+    """CLI parity: `python LOST/sg_main_lost.py sample=voc12` (README.md:222)."""
+    import argparse
+
+    from .ssl_backbone import get_ssl_backbone
+
+    p = argparse.ArgumentParser(description="LOST box discovery (TPU)")
+    p.add_argument("--ds", default="voc64", choices=["voc64", "cocostuff64", "synthetic"])
+    p.add_argument("--root", default="~/data/voc12")
+    p.add_argument("--split", default="train_aug")
+    p.add_argument("--out", default="~/data/sg_data/lost/lost_k100.h5")
+    p.add_argument("--feat", default="dino_vits16")
+    p.add_argument("--cluster_k", type=int, default=100)
+    p.add_argument("--k_patches", type=int, default=100)
+    p.add_argument("--debug", action="store_true")
+    a = p.parse_args()
+
+    if a.ds == "voc64":
+        from ..data.voc12 import VOCSegmentation
+
+        ds = VOCSegmentation(root=a.root, split=a.split, image_size=64,
+                             debug=a.debug)
+    elif a.ds == "cocostuff64":
+        from ..data.cocostuff import CocoStuffDataset
+
+        ds = CocoStuffDataset(root=a.root, split="train", image_size=64,
+                              debug=a.debug)
+    else:
+        from ..data.synthetic import SyntheticImages
+
+        ds = SyntheticImages(size=224, length=32)
+    backbone = get_ssl_backbone(a.feat)
+    names, boxes, pooled = run_lost(backbone, ds, k_patches=a.k_patches)
+    write_lost_h5(a.out, names, boxes, pooled, cluster_k=a.cluster_k)
+
+
+if __name__ == "__main__":
+    main()

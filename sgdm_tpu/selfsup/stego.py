@@ -196,3 +196,46 @@ class StegoInference:
             stem = Path(name).stem
             Image.fromarray(mask).save(out / f"{stem}.png")
         return out
+
+
+def main() -> None:
+    """CLI parity: `python STEGO/src/sg_generate_segmask.py sample=voc12`
+    (README.md:225) — renders the stego_dir mask PNGs."""
+    import argparse
+
+    import numpy as np
+    from PIL import Image as PILImage
+
+    p = argparse.ArgumentParser(description="STEGO segmentation masks (TPU)")
+    p.add_argument("--image_dir", required=True,
+                   help="dir of images to segment (recursive)")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--ckpt", default=None, help="STEGO torch .ckpt")
+    p.add_argument("--dino_ckpt", default=None)
+    p.add_argument("--n_classes", type=int, default=27)
+    p.add_argument("--dim", type=int, default=70)
+    p.add_argument("--arch", default="vit_small")
+    p.add_argument("--patch_size", type=int, default=8)
+    p.add_argument("--no_crf", action="store_true")
+    a = p.parse_args()
+
+    st = StegoInference(
+        n_classes=a.n_classes, dim=a.dim, arch=a.arch,
+        patch_size=a.patch_size, ckpt_path=a.ckpt,
+        dino_ckpt_path=a.dino_ckpt,
+    )
+    files = sorted(
+        f for f in Path(a.image_dir).rglob("*")
+        if f.suffix.lower() in (".jpg", ".jpeg", ".png")
+    )
+
+    def it():
+        for f in files:
+            yield f.name, np.asarray(PILImage.open(f).convert("RGB"))
+
+    st.generate_mask_dir(it(), a.out_dir)
+    logger.info(f"wrote {len(files)} masks to {a.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
