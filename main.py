@@ -102,12 +102,18 @@ def run_without_decorator(cfg: Config, run_unittest: bool = False):
             resume_from=cfg.select("resume_from"),
         )
     elif cfg.select("resume_from"):
-        # test-only: restore before evaluating
-        train_dl = data.train_dataloader()
-        first = next(iter(train_dl))
-        trainer.ckpt = trainer.ckpt or __import__(
-            "sgdm_tpu.training.checkpoints", fromlist=["CheckpointManager"]
-        ).CheckpointManager(Path(str(cfg.select("log_dir"))) / "ckpts")
+        # test-only (`train=0 resume_from=...`): restore before evaluating
+        from sgdm_tpu.training.checkpoints import CheckpointManager
+        from sgdm_tpu.utils.logging import get_tracker
+
+        trainer.ckpt = CheckpointManager(
+            Path(str(cfg.select("log_dir"))) / "ckpts"
+        )
+        trainer.tracker = get_tracker(
+            str(cfg.select("log_dir")), use_wandb=False
+        )
+        trainer.datamodule = data
+        first = next(iter(data.train_dataloader()))
         example = trainer._device_batch(first, training=True)
         trainer._init_state(example)
         trainer.state = trainer.ckpt.restore(trainer.state, cfg.select("resume_from"))
