@@ -26,7 +26,8 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["guided_score", "prob_mask_like", "make_guided_denoiser"]
+__all__ = ["guided_score", "prob_mask_like", "make_guided_denoiser",
+           "make_scoremix_denoiser"]
 
 
 def guided_score(z: jax.Array, zc: jax.Array, w, scale_type: str) -> jax.Array:
@@ -99,3 +100,33 @@ def make_guided_denoiser(
         return guided_score(z=eps_z, zc=eps_zc, w=cond_scale, scale_type=scale_type)
 
     return guided
+
+
+def make_scoremix_denoiser(
+    apply_fn: Callable[..., jax.Array],
+    scale_type: str = "imagen",
+    weights: tuple[float, ...] = (0.5, 0.5),
+) -> Callable[..., jax.Array]:
+    """Score mixing: average the GUIDED scores of several conditions.
+
+    The reference's `exp.scoremix` mode (run_exp.py:133-134 +
+    config/exp/default.yaml scoremix_c) interpolates at the score level
+    instead of the condition level: eps = Σ w_i · eps_guided(c_i), with the
+    same x_t/noise for every branch (same_noise=true).
+
+    Usage: ``mixed(x, t, cond_scale, conds=[c1, c2, ...], layouts=None)``.
+    """
+    guided = make_guided_denoiser(apply_fn, scale_type=scale_type)
+
+    def mixed(x, t, cond_scale=1.0, conds=(), layouts=None, **kw):
+        assert len(conds) == len(weights), (len(conds), len(weights))
+        eps = None
+        for i, c in enumerate(conds):
+            extra = dict(kw)
+            if layouts is not None:
+                extra["layout"] = layouts[i]
+            e = guided(x, t, cond_scale=cond_scale, cond=c, **extra)
+            eps = e * weights[i] if eps is None else eps + e * weights[i]
+        return eps
+
+    return mixed

@@ -115,6 +115,24 @@ def make_val_fid_fn(data_cfg: Mapping[str, Any]):
     def val_fid(trainer, epoch: int, fid_num_fraction: float = 1.0) -> float:
         gt_dir = _resolve_gt_dir(data_cfg)
         fid_num = max(int(data_cfg["val_fid_num"] * fid_num_fraction), 16)
+
+        if epoch == 0:
+            # epoch-0 oracle: FID of REAL images vs the reference dir
+            # (run_exp.py:193-195 test_oracle directimage; sized to the val
+            # budget here rather than the reference's fixed 50k)
+            oracle_dir = Path(trainer.log_dir) / f"oracle{_process_suffix()}"
+            sample_to_dir(
+                _make_batch_sample_fn(trainer, 0.0, "directimage"),
+                trainer.datamodule.train_dataloader(), fid_num, oracle_dir,
+            )
+            d, oracle = get_fid_dict(
+                oracle_dir, gt_dir, _extractor(), debug=trainer.debug
+            )
+            trainer.tracker.log(
+                {"val/oracle_fid": oracle, "epoch": epoch},
+                step=trainer.global_step,
+            )
+            logger.warning(f"oracle fid = {oracle}")
         sample_dir = (
             Path(trainer.log_dir)
             / f"val_samples_ep{epoch}{_process_suffix()}"
@@ -146,8 +164,20 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
     debug = bool(cfg.get("debug"))
     results: dict[str, Any] = {}
     try:
-        gt_dir = _resolve_gt_dir(data_cfg)
-    except FileNotFoundError as e:
+        # exp.dir4fid overrides the GT folder (run_exp.py:90-99); the test
+        # phase otherwise compares against the val image dir like the
+        # reference (run_exp.py:89)
+        if exp.get("dir4fid"):
+            gt_dir = Path(str(exp["dir4fid"])).expanduser()
+            assert gt_dir.exists(), f"exp.dir4fid={gt_dir} not found"
+        else:
+            gt_dir = Path(
+                str(data_cfg.get("fid_val_image_dir")
+                    or data_cfg["fid_train_image_dir"])
+            ).expanduser()
+            if not gt_dir.exists():
+                gt_dir = _resolve_gt_dir(data_cfg)
+    except (FileNotFoundError, KeyError, TypeError) as e:
         logger.warning(f"test phase skipped: {e}")
         return results
 

@@ -167,6 +167,13 @@ class SelfGuidedDiffusionTrainer:
 
         self.datamodule = datamodule  # exposed for the eval harness
         train_dl = datamodule.train_dataloader()
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            assert train_dl.batch_size % n_dev == 0, (
+                f"batch_size {train_dl.batch_size} must be divisible by the "
+                f"data-parallel mesh size {n_dev} (set data.params."
+                f"batch_size or pl.trainer.strategy=null)"
+            )
         first = next(iter(train_dl))
         example = self._device_batch(first, training=True)
         if self.state is None:
@@ -194,6 +201,7 @@ class SelfGuidedDiffusionTrainer:
             int(n_batches * limit) if isinstance(limit, float) else int(limit)
         )
 
+        profile = bool(self.hparams.get("profile"))
         samples_seen = 0
         for epoch in range(max_epochs):
             train_dl.set_epoch(epoch)
@@ -204,8 +212,15 @@ class SelfGuidedDiffusionTrainer:
             for i, raw in enumerate(train_dl):
                 if i >= max_batches:
                     break
+                # profile=1: trace steps 2-12 of epoch 1 (epoch 0 compiles)
+                if profile and epoch == 1 and i == 2:
+                    jax.profiler.start_trace(str(self.log_dir / "profile"))
                 batch = self._device_batch(raw, training=True)
                 self.state, metrics = self._train_step(self.state, batch, rng)
+                if profile and epoch == 1 and i == 12:
+                    jax.block_until_ready(metrics["loss"])
+                    jax.profiler.stop_trace()
+                    logger.warning(f"profiler trace → {self.log_dir}/profile")
                 self.global_step += 1
                 samples_seen += raw["image"].shape[0]
 
