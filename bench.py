@@ -34,7 +34,7 @@ BASELINE_SAMPLES_PER_SEC = 250.0  # estimated A100 torch baseline (see above)
 
 
 def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
-          use_pallas: bool = True):
+          use_pallas: bool = True, use_checkpoint: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +47,8 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
         model_channels=channels, out_channels=3, num_res_blocks=2,
         channel_mult=(1, 2, 4), attention_resolutions=(4,), num_heads=8,
         use_scale_shift_norm=True, resblock_updown=True, dropout=0.1,
-        cond_dim=cond_dim, use_pallas=use_pallas, dtype=jnp.bfloat16,
+        cond_dim=cond_dim, use_pallas=use_pallas, use_checkpoint=use_checkpoint,
+        dtype=jnp.bfloat16,
     )
     diffusion = GaussianDiffusion(num_timesteps=1000)
     tx = create_optimizer("adamw", lr=1e-4, wd=0.01)
@@ -62,11 +63,11 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
 
 
 def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
-                iters=20, warmup=3, use_pallas=True):
+                iters=20, warmup=3, use_pallas=True, use_checkpoint=False):
     import jax
 
     model, diffusion, state, step, batch = build(
-        batch_size, image_size, cond_dim, channels, use_pallas
+        batch_size, image_size, cond_dim, channels, use_pallas, use_checkpoint
     )
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
@@ -116,7 +117,11 @@ def main() -> None:
                    help="tiny shapes for CPU smoke-testing the bench itself")
     p.add_argument("--all", action="store_true", help="also report DDIM throughput")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--pallas", action="store_true",
+                   help="use Pallas kernels in the TRAIN step too (measured "
+                        "slower: custom-VJP blocks backward fusion)")
+    p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     if args.quick:
@@ -124,7 +129,10 @@ def main() -> None:
                   channels=32, iters=4, warmup=1)
     else:
         kw = dict(batch_size=args.batch_size or 256)
-    kw["use_pallas"] = not args.no_pallas
+    # training default = XLA path (fastest measured); sampling auto-enables
+    # the Pallas kernels inside make_sample_fn
+    kw["use_pallas"] = bool(args.pallas)
+    kw["use_checkpoint"] = args.remat
 
     sps, loss = bench_train(**kw)
     result = {

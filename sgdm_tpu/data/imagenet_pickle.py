@@ -51,6 +51,7 @@ class ImageNetPickle:
         data_ratio: float = 1.0,
         corruption: float = 0.0,
         subgroup: int = 1,
+        size4cluster: int | None = None,
         **_unused,
     ):
         self.train = train
@@ -58,6 +59,9 @@ class ImageNetPickle:
         self.size = image_size
         self.debug = debug
         self.label_num = num_classes
+        # imagenet_pickle_v2 semantics: emit img4unsup at the feature-
+        # extractor resolution (upsampled; need_to_upsample256 parity)
+        self.size4cluster = size4cluster
 
         root = self._sized_root(root)
         self.data, labels = self._read(root, train)
@@ -166,9 +170,18 @@ class ImageNetPickle:
     def __getitem__(self, index: int) -> dict:
         img = np.asarray(self.data[index]).reshape(3, self.size, self.size)
         img = img.transpose(1, 2, 0)  # HWC uint8
+        img4unsup = img
+        if self.size4cluster and self.size4cluster != self.size:
+            from PIL import Image
+
+            img4unsup = np.asarray(
+                Image.fromarray(img).resize(
+                    (self.size4cluster, self.size4cluster), Image.BILINEAR
+                )
+            )
         out = {
             "image": img.astype(np.float32) / 255.0 * 2.0 - 1.0,
-            "img4unsup": img,
+            "img4unsup": img4unsup,
             "id": np.int64(index),
         }
         out.update(self.cond.get(index))

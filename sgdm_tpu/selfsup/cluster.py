@@ -104,6 +104,10 @@ def clustering(
         shutil.copy(src_json, Path(str(out_path).replace(".h5", ".json")))
 
     train_feat, val_feat = np.array(get_feat("train")), np.array(get_feat("val"))
+    if train_feat.ndim == 3:  # tencrop feats [N, crops, D] → crop-mean
+        # (cluster_tencrop.py variant: cluster on the aggregated crop feats)
+        train_feat = train_feat.mean(axis=1)
+        val_feat = val_feat.mean(axis=1)
     trainval_feat = np.concatenate([train_feat, val_feat], 0)
     trainset_size = len(train_feat)
 

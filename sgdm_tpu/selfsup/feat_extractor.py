@@ -40,20 +40,25 @@ def extract_feat(
     is_grey: bool = False,
     ckpt_path: str | None = None,
     version: str = "v4",
+    crops: int = 1,
 ) -> Path:
+    """``crops=10`` writes the tencrop variant: [N, 10, feat_dim] datasets
+    (feat_tencrop.py parity); ``crops=1`` is the standard CLS-feature file."""
     backbone = get_ssl_backbone(feat_from, ckpt_path=ckpt_path)
     out_root = Path(out_root).expanduser()
     out_root.mkdir(parents=True, exist_ok=True)
     time_str = datetime.now().isoformat(timespec="hours")
+    suffix = "_tencrop" if crops == 10 else ""
     out_path = out_root / (
-        f"{version}_{dataset_name}_{feat_from}_grey{int(is_grey)}_{time_str}.h5"
+        f"{version}_{dataset_name}_{feat_from}{suffix}_grey{int(is_grey)}_{time_str}.h5"
     )
 
     id2name: dict[int, str] = {}
     with h5py.File(out_path, "w") as f:
         for split, ds in [("train", dataset_train), ("val", dataset_val)]:
             n = len(ds)
-            feats = f.create_dataset(split, (n, backbone.feat_dim), dtype="f4")
+            shape = (n, backbone.feat_dim) if crops == 1 else (n, crops, backbone.feat_dim)
+            feats = f.create_dataset(split, shape, dtype="f4")
             has_labels = "label_id" in ds[0] or "label" in ds[0]
             labels = (
                 f.create_dataset(f"{split}_labels", (n,), dtype="i8")
@@ -64,8 +69,18 @@ def extract_feat(
             i = 0
             for batch in dl:
                 imgs = batch["img4unsup"]
-                x = backbone.transform_batch(imgs)
-                feat = backbone.batch_encode_feat(x)
+                if crops == 10:
+                    from .ssl_backbone import tencrop_batch
+
+                    tc = tencrop_batch(imgs)  # [B, 10, h, w, 3]
+                    b_, c_ = tc.shape[:2]
+                    flat = tc.reshape(b_ * c_, *tc.shape[2:])
+                    feat = backbone.batch_encode_feat(
+                        backbone.transform_batch(flat)
+                    ).reshape(b_, c_, -1)
+                else:
+                    x = backbone.transform_batch(imgs)
+                    feat = backbone.batch_encode_feat(x)
                 b = len(feat)
                 feats[i:i + b] = feat
                 if labels is not None:
@@ -134,10 +149,12 @@ def main() -> None:
     p.add_argument("--out_root", default="~/data/sg_data/feat")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--tencrop", action="store_true")
     a = p.parse_args()
     train, val = _build_datasets(a.ds, a.image_size, a.data_root, a.debug)
     extract_feat(train, val, dataset_name=a.ds, feat_from=a.feat,
-                 batch_size=a.bs, out_root=a.out_root, ckpt_path=a.ckpt)
+                 batch_size=a.bs, out_root=a.out_root, ckpt_path=a.ckpt,
+                 crops=10 if a.tencrop else 1)
 
 
 if __name__ == "__main__":

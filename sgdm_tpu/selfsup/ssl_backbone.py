@@ -112,3 +112,22 @@ def get_ssl_backbone(
         x = jnp.zeros((1, image_size, image_size, 3))
         params = model.init(jax.random.PRNGKey(seed), x)["params"]
     return SSLBackbone(name, model, params, image_size=image_size)
+
+
+def tencrop_batch(imgs_uint8: np.ndarray, crop_frac: float = 0.875) -> np.ndarray:
+    """Classic TenCrop: 4 corners + center, each plus its horizontal flip.
+
+    uint8 [B, H, W, 3] → uint8 [B, 10, ch, cw, 3] (torchvision TenCrop
+    semantics; used by the tencrop feature-extractor variant,
+    clustering/utils/feat_tencrop.py).
+    """
+    b, h, w, _ = imgs_uint8.shape
+    ch, cw = int(h * crop_frac), int(w * crop_frac)
+    tops = [0, 0, h - ch, h - ch, (h - ch) // 2]
+    lefts = [0, w - cw, 0, w - cw, (w - cw) // 2]
+    crops = []
+    for t, l in zip(tops, lefts):
+        c = imgs_uint8[:, t:t + ch, l:l + cw]
+        crops.append(c)
+        crops.append(c[:, :, ::-1])
+    return np.stack(crops, axis=1)

@@ -158,3 +158,163 @@ def linear_probe_loss(code: jax.Array, w: jax.Array, b: jax.Array,
     logp = jax.nn.log_softmax(logits, axis=-1)
     ce = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
     return (ce * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+# ----------------------------------------------------------------------
+# the training loop (LitUnsupervisedSegmenter equivalent)
+# ----------------------------------------------------------------------
+
+def precompute_knns(backbone, dataset, k: int = 7, batch_size: int = 32):
+    """Nearest-neighbor image pairs for the pos_inter pairing.
+
+    Parity: side_repo/STEGO/src/sg_precompute_knns.py — CLS-feature kNN over
+    the dataset (exact search on TPU).
+    """
+    import numpy as np
+
+    from ..data.loader import DataLoader
+    from ..ops.knn import run_nns
+
+    feats = []
+    dl = DataLoader(dataset, batch_size=batch_size, shuffle=False,
+                    drop_last=False)
+    for batch in dl:
+        x = backbone.transform_batch(batch["img4unsup"])
+        feats.append(backbone.batch_encode_feat(x))
+    feats = np.concatenate(feats).astype(np.float32)
+    nns, _ = run_nns(feats, feats, k_nn=k)
+    return nns
+
+
+def train_stego(
+    dataset,
+    *,
+    arch: str = "vit_small",
+    patch_size: int = 8,
+    dim: int = 70,
+    n_classes: int = 27,
+    steps: int = 1000,
+    batch_size: int = 16,
+    lr: float = 5e-4,
+    cluster_lr: float = 5e-3,
+    image_size: int = 224,
+    knn_k: int = 7,
+    seed: int = 0,
+    dino_ckpt_path: str | None = None,
+    log_every: int = 50,
+):
+    """Train the STEGO head + probes over a frozen DINO trunk.
+
+    Compact equivalent of `sg_train_segmentation.py:64-429`: per step draw a
+    batch and its kNN positives, compute (feats, codes) for both, optimize
+    the contrastive-correlation loss on the head and the cluster-probe loss
+    on the centroids (the trunk stays frozen).  Returns a StegoInference
+    ready to render mask dirs.
+    """
+    import numpy as np
+    import optax
+
+    from ..utils.logging import logger
+    from .ssl_backbone import IMAGENET_MEAN, IMAGENET_STD, get_ssl_backbone
+    from .stego import DinoFeaturizer, StegoInference
+
+    backbone_name = ("dino_vits" if arch == "vit_small" else "dino_vitb") + str(patch_size)
+    backbone = get_ssl_backbone(backbone_name, image_size=image_size,
+                                ckpt_path=dino_ckpt_path)
+    nns = precompute_knns(backbone, dataset, k=knn_k, batch_size=batch_size)
+
+    featurizer = DinoFeaturizer(dim=dim, backbone=backbone.model)
+    rng = jax.random.PRNGKey(seed)
+    x0 = jnp.zeros((1, image_size, image_size, 3))
+    variables = featurizer.init(rng, x0)
+    params = dict(variables["params"])
+    params["backbone"] = backbone.params  # frozen trunk weights
+    head_params = {k: v for k, v in params.items() if k != "backbone"}
+    trunk = params["backbone"]
+    clusters = jax.random.normal(jax.random.PRNGKey(seed + 1), (n_classes, dim))
+
+    tx_head = optax.adam(lr)
+    tx_cluster = optax.adam(cluster_lr)
+    opt_head = tx_head.init(head_params)
+    opt_cluster = tx_cluster.init(clusters)
+
+    def tokens_feats(x):
+        return backbone.model.apply(
+            {"params": trunk}, x, out="tokens"
+        )[:, 1:]
+
+    @jax.jit
+    def step_fn(head_params, clusters, opt_head, opt_cluster, x, x_pos, key):
+        p = x.shape[1] // (image_size // patch_size)  # grid side
+
+        def head_loss(head_params, clusters):
+            full = dict(head_params, backbone=trunk)
+            code = featurizer.apply({"params": full}, x)
+            code_pos = featurizer.apply({"params": full}, x_pos)
+            g = code.shape[1]
+            feats = jax.lax.stop_gradient(tokens_feats(x)).reshape(
+                x.shape[0], g, g, -1
+            )
+            feats_pos = jax.lax.stop_gradient(tokens_feats(x_pos)).reshape(
+                x.shape[0], g, g, -1
+            )
+            cc_loss, aux = contrastive_correlation_loss(
+                key, feats, feats_pos, code, code_pos
+            )
+            probe_loss = cluster_probe_loss(
+                jax.lax.stop_gradient(code), clusters, alpha=None
+            )
+            return cc_loss + probe_loss, (aux, probe_loss)
+
+        (loss, (aux, probe_loss)), grads = jax.value_and_grad(
+            head_loss, argnums=(0, 1), has_aux=True
+        )(head_params, clusters)
+        gu, opt_head = tx_head.update(grads[0], opt_head, head_params)
+        head_params = optax.apply_updates(head_params, gu)
+        cu, opt_cluster = tx_cluster.update(grads[1], opt_cluster, clusters)
+        clusters = optax.apply_updates(clusters, cu)
+        return head_params, clusters, opt_head, opt_cluster, loss, probe_loss
+
+    n = len(dataset)
+    np_rng = np.random.default_rng(seed)
+
+    def get_imgs(idxs):
+        imgs = np.stack([
+            np.asarray(dataset[int(i)]["img4unsup"]) for i in idxs
+        ])
+        x = jnp.asarray(imgs, dtype=jnp.float32) / 255.0
+        if x.shape[1] != image_size:
+            x = jax.image.resize(
+                x, (x.shape[0], image_size, image_size, 3), "bilinear"
+            )
+        return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+    key = jax.random.PRNGKey(seed + 2)
+    for it in range(steps):
+        idxs = np_rng.integers(0, n, batch_size)
+        pos_idxs = np.array([
+            nns[i][np_rng.integers(0, knn_k)] for i in idxs
+        ])
+        key, sub = jax.random.split(key)
+        head_params, clusters, opt_head, opt_cluster, loss, probe_loss = step_fn(
+            head_params, clusters, opt_head, opt_cluster,
+            get_imgs(idxs), get_imgs(pos_idxs), sub,
+        )
+        if (it + 1) % log_every == 0:
+            logger.info(
+                f"stego step {it + 1}/{steps} loss {float(loss):.4f} "
+                f"probe {float(probe_loss):.4f}"
+            )
+
+    inference = StegoInference.__new__(StegoInference)
+    inference.model = featurizer
+    inference.n_classes = n_classes
+    inference.params = dict(head_params, backbone=trunk)
+    inference.clusters = clusters
+
+    @jax.jit
+    def _code(params, x):
+        return featurizer.apply({"params": params}, x)
+
+    inference._code = _code
+    return inference
