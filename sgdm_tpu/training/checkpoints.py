@@ -69,12 +69,17 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def restore(self, state_template, path: str | Path | None = None):
-        """Restore a TrainState (shape/dtype template required by orbax)."""
+        """Restore a TrainState (shape/dtype/sharding template for orbax)."""
         path = Path(path) if path else Path(self.meta["last_path"])
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state_template
-        )
-        return self._ckpt.restore(path.absolute(), abstract)
+
+        def abstract(x):
+            sharding = getattr(x, "sharding", None)
+            if sharding is None:
+                sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+        template = jax.tree.map(abstract, state_template)
+        return self._ckpt.restore(path.absolute(), template)
 
     def _flush(self) -> None:
         self._meta_path.write_text(json.dumps(self.meta, indent=2))

@@ -135,3 +135,22 @@ class TestEvalAndSample:
         assert imgs.shape == (4, 8, 8, 1)
         assert imgs.dtype == jnp.uint8
         assert inter["pred_x0"].shape[0] == 5
+
+
+class TestResume:
+    def test_checkpoint_roundtrip_through_manager(self, tmp_path):
+        from sgdm_tpu.training.checkpoints import CheckpointManager
+
+        _, _, _, state, step = tiny_setup()
+        x = jnp.full((8, 8, 8, 1), 0.5)
+        for i in range(3):
+            state, _ = step(state, {"image": x}, jax.random.PRNGKey(0))
+        cm = CheckpointManager(tmp_path / "ck")
+        cm.save_last(state, epoch=0)
+        _, _, _, fresh, step2 = tiny_setup()
+        restored = cm.restore(fresh)
+        assert int(restored.step) == 3
+        # training continues from the restored state
+        restored, m = step2(restored, {"image": x}, jax.random.PRNGKey(1))
+        assert int(restored.step) == 4
+        assert np.isfinite(float(m["loss"]))
