@@ -93,3 +93,48 @@ def draw_chain_grid(
     k, b = chain.shape[:2]
     rows = chain.transpose(1, 0, 2, 3, 4).reshape(k * b, *chain.shape[2:])
     return draw_grid(rows, save_path, ncol=k, padding=padding)
+
+
+def condscale_sweep_images(
+    trainer,
+    cond: "np.ndarray",
+    scales: Sequence[float],
+    image_size: int,
+    channels: int = 3,
+    layout: "np.ndarray | None" = None,
+    sampling_method: str = "ddim",
+    num_steps: int = 50,
+    seed: int = 0,
+):
+    """One condition sampled at several guidance weights, same noise.
+
+    TPU equivalent of the embedded condscale-sweep branch in the reference
+    DDIM loop (`ddim_plms_sampler.py:107-143`): the per-sample weight tensor
+    rides through `guided_score` (which broadcasts [B] weights), so the
+    whole sweep is ONE batch in ONE jitted sampler call.
+
+    Returns uint8 [len(scales), H, W, C].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..training.state import make_sample_fn
+
+    n = len(scales)
+    w = jnp.asarray(scales, dtype=jnp.float32)  # per-sample weights [n]
+    sample = make_sample_fn(
+        trainer.model, trainer.diffusion,
+        sampling_method=sampling_method, num_steps=num_steps,
+        cond_scale=w, scale_type=trainer.scale_type,
+        clip_denoised=trainer.clip_denoised, dtp=trainer.dtp,
+    )
+    cond_rep = jnp.broadcast_to(jnp.asarray(cond, jnp.float32)[None],
+                                (n, *np.asarray(cond).shape))
+    layout_rep = (
+        None if layout is None else
+        jnp.broadcast_to(jnp.asarray(layout, jnp.float32)[None],
+                         (n, *np.asarray(layout).shape))
+    )
+    imgs, _ = sample(trainer.state.ema_params, jax.random.PRNGKey(seed),
+                     n, image_size, channels, cond=cond_rep, layout=layout_rep)
+    return np.asarray(imgs)

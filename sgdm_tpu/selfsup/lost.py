@@ -206,3 +206,27 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+
+
+def bbox_iou(a: np.ndarray, b: np.ndarray) -> float:
+    """IoU of two (x0, y0, x1, y1) boxes. Parity: LOST datasets.bbox_iou."""
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, x1 - x0) * max(0, y1 - y0)
+    area_a = (a[2] - a[0]) * (a[3] - a[1])
+    area_b = (b[2] - b[0]) * (b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def corloc(pred_boxes: np.ndarray, gt_boxes_per_image: list, thr: float = 0.5) -> float:
+    """Correct-localization rate: fraction of images whose predicted box has
+    IoU >= thr with ANY ground-truth box.
+
+    Parity: sg_main_lost.py:446-452 corloc evaluation.
+    """
+    hits = 0
+    for pred, gts in zip(pred_boxes, gt_boxes_per_image):
+        if any(bbox_iou(np.asarray(pred), np.asarray(g)) >= thr for g in gts):
+            hits += 1
+    return hits / max(len(gt_boxes_per_image), 1)

@@ -189,3 +189,32 @@ class TestStego:
         ]
         out = st.generate_mask_dir(imgs, tmp_path / "stego")
         assert sorted(p.name for p in out.iterdir()) == ["im0.png", "im1.png"]
+
+
+class TestSideRepoMetrics:
+    def test_corloc(self):
+        from sgdm_tpu.selfsup.lost import bbox_iou, corloc
+
+        assert bbox_iou(np.array([0, 0, 10, 10]), np.array([0, 0, 10, 10])) == 1.0
+        assert bbox_iou(np.array([0, 0, 10, 10]), np.array([20, 20, 30, 30])) == 0.0
+        preds = np.array([[0, 0, 10, 10], [0, 0, 10, 10]])
+        gts = [[np.array([1, 1, 9, 9])], [np.array([50, 50, 60, 60])]]
+        assert corloc(preds, gts) == 0.5
+
+    def test_unsupervised_miou_perfect_permutation(self):
+        from sgdm_tpu.eval.seg_metrics import unsupervised_seg_metrics
+
+        gts = np.random.RandomState(0).randint(0, 3, (64, 64))
+        perm = np.array([2, 0, 1])
+        preds = perm[gts]  # clusters are a relabeling of classes
+        out = unsupervised_seg_metrics(preds, gts, n_clusters=3, n_classes=3)
+        assert out["miou"] == 1.0
+        assert out["pixel_acc"] == 1.0
+
+    def test_ignore_label(self):
+        from sgdm_tpu.eval.seg_metrics import unsupervised_seg_metrics
+
+        gts = np.array([[0, 255], [1, 255]])
+        preds = np.array([[0, 1], [1, 0]])
+        out = unsupervised_seg_metrics(preds, gts, 2, 2)
+        assert out["pixel_acc"] == 1.0

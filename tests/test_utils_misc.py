@@ -176,3 +176,30 @@ class TestClusterVis:
 
         m = vis_cluster_statistics(loader())
         assert m["nmi"] == pytest.approx(1.0)
+
+
+class TestCondscaleSweep:
+    def test_per_sample_weights_one_call(self):
+        # exercise the per-sample guidance-weight path end to end
+        import jax
+        import jax.numpy as jnp
+
+        from sgdm_tpu.diffusion import GaussianDiffusion, make_guided_denoiser
+        from sgdm_tpu.models import UNetModel
+        from sgdm_tpu.training.optim import create_optimizer
+        from sgdm_tpu.training.state import create_train_state, make_sample_fn
+
+        model = UNetModel(model_channels=16, out_channels=1, num_res_blocks=1,
+                          channel_mult=(1, 2), attention_resolutions=(2,),
+                          num_heads=2, resblock_updown=True, cond_dim=4)
+        diff = GaussianDiffusion(num_timesteps=50)
+        tx = create_optimizer("adamw", lr=1e-3, scheduler=None)
+        batch = {"image": jnp.zeros((3, 8, 8, 1)), "cond": jnp.zeros((3, 4))}
+        state = create_train_state(model, tx, jax.random.PRNGKey(0), batch,
+                                   {"cond": batch["cond"]})
+        w = jnp.array([0.0, 1.0, 4.0])  # per-sample guidance weights
+        sample = make_sample_fn(model, diff, sampling_method="ddim",
+                                num_steps=4, cond_scale=w)
+        imgs, _ = sample(state.ema_params, jax.random.PRNGKey(1), 3, 8, 1,
+                         cond=jnp.eye(4)[:3])
+        assert imgs.shape == (3, 8, 8, 1)
