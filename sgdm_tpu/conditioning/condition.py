@@ -64,6 +64,11 @@ def prepare_condition_kwargs(
 
     if condition_method is None:
         out["cond"] = None
+    elif condition_method == "cluster_lookup":
+        # learned table inside the model, keyed by dataset ids
+        # (condition.py:38-39)
+        out["cond"] = None
+        out["image_batch_ids"] = batch["id"]
     elif condition_method in VECTOR_COND_METHODS:
         out["cond"] = batch[condition_method]
     elif condition_method == "clusterlayout":

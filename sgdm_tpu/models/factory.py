@@ -28,7 +28,7 @@ _COMMON_KEYS = {
     "model_channels", "out_channels", "num_res_blocks",
     "attention_resolutions", "channel_mult", "dropout", "num_heads",
     "num_head_channels", "use_scale_shift_norm", "use_checkpoint", "use_pallas",
-    "cond_dim", "condition_method",
+    "cond_dim", "condition_method", "lookup_table_size",
 }
 _UNET_KEYS = _COMMON_KEYS | {"resblock_updown"}
 _CA_KEYS = _COMMON_KEYS | {

@@ -200,6 +200,7 @@ class UNetModel(nn.Module):
     resblock_updown: bool = True
     cond_dim: int = 0
     condition_method: str | None = None
+    lookup_table_size: int = 0  # cluster_lookup: learned per-image table
     use_checkpoint: bool = False
     use_pallas: bool = False
     dtype: Any = jnp.float32
@@ -212,12 +213,22 @@ class UNetModel(nn.Module):
         cond: jax.Array | None = None,
         layout: jax.Array | None = None,
         cond_drop_mask: jax.Array | None = None,
+        image_batch_ids: jax.Array | None = None,
         train: bool = False,
     ) -> jax.Array:
         b = x.shape[0]
         mc = self.model_channels
         if cond_drop_mask is None:
             cond_drop_mask = jnp.zeros((b,), dtype=bool)
+
+        if self.condition_method == "cluster_lookup":
+            # learned per-image condition table indexed by dataset ids
+            # (openaimodel.py:581-597 rebuttal feature; the reference sizes
+            # the Embedding absurdly large — here it's the dataset length)
+            assert image_batch_ids is not None
+            table = nn.Embed(self.lookup_table_size, self.cond_dim,
+                             name="lookup_table")
+            cond = table(image_batch_ids.astype(jnp.int32))
 
         t_emb = timestep_embedding(t, mc)
         emb = nn.Dense(4 * mc, dtype=self.dtype, name="time_embed_1")(t_emb.astype(self.dtype))

@@ -106,7 +106,9 @@ def make_train_step(
 
     def _loss_and_grads(params, batch, loss_rng, dropout_rng):
         cond_kwargs = {
-            k: batch[k] for k in ("cond", "layout") if batch.get(k) is not None
+            k: batch[k]
+            for k in ("cond", "layout", "image_batch_ids")
+            if batch.get(k) is not None
         }
 
         def loss_fn(params):
@@ -210,7 +212,9 @@ def make_eval_step(
 
     def eval_step(params, batch, rng, cond_drop_prob=1.0):
         cond_kwargs = {
-            k: batch[k] for k in ("cond", "layout") if batch.get(k) is not None
+            k: batch[k]
+            for k in ("cond", "layout", "image_batch_ids")
+            if batch.get(k) is not None
         }
         denoise = _apply_denoiser(model, params, train=False)
         loss, aux = diffusion.loss(
@@ -265,7 +269,7 @@ def make_sample_fn(
         model = model.clone(use_pallas=True)
 
     def sample(params, rng, batch_size, image_size, channels,
-               cond=None, layout=None):
+               cond=None, layout=None, image_batch_ids=None):
         apply_fn = _apply_denoiser(model, params, train=False)
         guided = make_guided_denoiser(apply_fn, scale_type=scale_type)
         cond_kwargs = {}
@@ -273,6 +277,8 @@ def make_sample_fn(
             cond_kwargs["cond"] = cond
         if layout is not None:
             cond_kwargs["layout"] = layout
+        if image_batch_ids is not None:
+            cond_kwargs["image_batch_ids"] = image_batch_ids
         denoise = lambda x, t: guided(x, t, cond_scale=cond_scale, **cond_kwargs)
         shape = (batch_size, image_size, image_size, channels)
         return diffusion.sample(

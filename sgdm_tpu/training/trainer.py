@@ -128,6 +128,8 @@ class SelfGuidedDiffusionTrainer:
             out["cond"] = jnp.asarray(kw["cond"], dtype=jnp.float32)
         if kw.get("layout") is not None:
             out["layout"] = jnp.asarray(kw["layout"], dtype=jnp.float32)
+        if kw.get("image_batch_ids") is not None:
+            out["image_batch_ids"] = jnp.asarray(kw["image_batch_ids"], dtype=jnp.int32)
         if self.mesh is not None:
             out = shard_batch(out, self.mesh)
         return out
