@@ -18,7 +18,6 @@ TPU-native rewrite of `dataset/imagenet_pickle.py:35-260 ImageNet_Pickle`:
 
 from __future__ import annotations
 
-import os
 import pickle
 from pathlib import Path
 

@@ -16,7 +16,7 @@ Design deviations from the torch reference, on purpose:
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ TPU-native rewrite of `clustering/cluster_on_feat.py` +
 from __future__ import annotations
 
 import argparse
-import json
 import shutil
 import subprocess
 from datetime import datetime

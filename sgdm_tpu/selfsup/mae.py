@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..models.vit import Block, VisionTransformer, interpolate_pos_embed
+from ..models.vit import Block, interpolate_pos_embed
 
 __all__ = ["MAE", "mae_loss", "make_mae_train_step"]
 

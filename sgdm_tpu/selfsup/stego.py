@@ -22,7 +22,6 @@ head is used (pipeline plumbing only; flagged).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any
 
 import jax
 import jax.numpy as jnp

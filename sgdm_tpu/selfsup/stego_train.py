@@ -23,8 +23,6 @@ mask PNG dirs the diffusion pipeline consumes.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp

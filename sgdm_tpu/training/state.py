@@ -20,8 +20,6 @@ torch's global RNG, SURVEY.md §7 hard-part 3).
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Any, Callable, Mapping
 
 import jax

@@ -30,7 +30,7 @@ import numpy as np
 from ..conditioning.condition import prepare_condition_kwargs
 from ..config.engine import instantiate_from_config, to_container
 from ..diffusion import GaussianDiffusion
-from ..parallel.mesh import create_mesh, data_sharding, shard_batch
+from ..parallel.mesh import create_mesh, shard_batch
 from ..utils.logging import Tracker, get_tracker, logger, make_grid
 from .checkpoints import CheckpointManager
 from .optim import create_optimizer
