@@ -92,7 +92,12 @@ class InceptionExtractor:
     def _resize_batch(self, imgs: np.ndarray, mode: str) -> np.ndarray:
         """uint8 [B,H,W,3] → float32 [B,299,299,3] in [-1,1]."""
         if mode == "clean":
-            out = np.stack([_pil_bicubic_resize_float(i) for i in imgs])
+            # per-image PIL resizes parallelize well (PIL releases the GIL);
+            # at 50k-image FID runs this is the host-side hot loop
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as pool:
+                out = np.stack(list(pool.map(_pil_bicubic_resize_float, imgs)))
             return out / 127.5 - 1.0
         if mode == "bilinear":
             import jax

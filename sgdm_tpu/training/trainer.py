@@ -246,16 +246,19 @@ class SelfGuidedDiffusionTrainer:
                         f"epoch {epoch} step {self.global_step} "
                         f"loss {loss:.4f} it/s {iters_per_sec:.2f}"
                     )
-                stats_x.append(np.asarray(metrics["epoch_stats_x"]))
-                stats_y.append(np.asarray(metrics["epoch_stats_y"]))
+                # keep DEVICE arrays here — np.asarray would force a host
+                # sync every step and break the async-dispatch pipeline
+                # (the conversion happens once at epoch end)
+                stats_x.append(metrics["epoch_stats_x"])
+                stats_y.append(metrics["epoch_stats_y"])
 
                 if vis_every_iter and self.global_step % vis_every_iter == 0:
                     self._log_images(raw, epoch)
 
             # loss-vs-t scatter, binned (wandb_utils.vis_timestep_loss parity)
             if stats_x:
-                x = np.concatenate(stats_x)
-                y = np.concatenate(stats_y)
+                x = np.concatenate([np.asarray(s) for s in stats_x])
+                y = np.concatenate([np.asarray(s) for s in stats_y])
                 bins = np.linspace(0, self.diffusion.num_timesteps, 21)
                 idx = np.digitize(x, bins) - 1
                 per_bin = {
