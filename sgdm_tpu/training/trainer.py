@@ -393,15 +393,25 @@ class SelfGuidedDiffusionTrainer:
         except Exception:
             return {}
 
-    def _make_sampler(self, sampling_method: str, num_steps: int, cond_scale: float):
-        return make_sample_fn(
-            self.model, self.diffusion,
-            sampling_method=sampling_method, num_steps=num_steps,
-            cond_scale=cond_scale, scale_type=self.scale_type,
-            ddim_eta=self.ddim_eta, clip_denoised=self.clip_denoised,
-            dtp=self.dtp, log_num_per_prog=self.log_num_per_prog,
-            mesh=self.mesh,
-        )
+    def _make_sampler(self, sampling_method: str, num_steps: int, cond_scale):
+        # cache jitted samplers: the FID loop calls sampling_progressive per
+        # batch, and rebuilding the jit wrapper would re-trace the whole
+        # 250-step scan every batch
+        scale_key = tuple(np.ravel(np.asarray(cond_scale)).tolist())
+        key = (sampling_method, num_steps, scale_key)
+        cache = getattr(self, "_sampler_cache", None)
+        if cache is None:
+            cache = self._sampler_cache = {}
+        if key not in cache:
+            cache[key] = make_sample_fn(
+                self.model, self.diffusion,
+                sampling_method=sampling_method, num_steps=num_steps,
+                cond_scale=cond_scale, scale_type=self.scale_type,
+                ddim_eta=self.ddim_eta, clip_denoised=self.clip_denoised,
+                dtp=self.dtp, log_num_per_prog=self.log_num_per_prog,
+                mesh=self.mesh,
+            )
+        return cache[key]
 
     # ------------------------------------------------------------------
     def sampling_progressive(
