@@ -60,6 +60,15 @@ def run_without_decorator(cfg: Config, run_unittest: bool = False):
 
     import jax
 
+    if os.environ.get("SGDM_MULTIHOST"):
+        # multi-host SPMD: one process per host, ICI intra-slice, DCN across
+        # (SURVEY.md §5.8); coordinator/num_processes come from the standard
+        # JAX_COORDINATOR_ADDRESS / cluster env
+        jax.distributed.initialize()
+        logger.info(
+            f"jax.distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
+
     if os.environ.get("SGDM_FORCE_CPU"):  # debug/smoke runs without the chip
         jax.config.update("jax_default_device", jax.devices("cpu")[0])
 

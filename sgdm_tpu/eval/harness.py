@@ -258,6 +258,25 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
     # vis toggles (run_exp.py:26-71 run_test_vis)
     vis = cfg.get("vis") or {}
     papervis_dir = log_dir / "papervis"
+    if vis.get("condscale"):
+        from .papervis import condscale_sweep_images, draw_grid
+
+        raw = next(iter(train_dl))
+        kw = prepare_sampling_kwargs(
+            trainer.condition_method, dict(raw), trainer.cond_scale,
+            condition_cfg=trainer.condition_cfg,
+            cond_drop_prob=trainer.cond_drop_prob or 0.1,
+        )
+        if kw.get("cond") is not None:
+            b, h, w, c = raw["image"].shape
+            imgs = condscale_sweep_images(
+                trainer, np.asarray(kw["cond"][0]),
+                scales=[0.0, 1.0, 2.0, 4.0, 6.0], image_size=h, channels=c,
+                layout=None if kw.get("layout") is None
+                else np.asarray(kw["layout"][0]),
+                sampling_method=sampling_method, num_steps=num_steps,
+            )
+            draw_grid(imgs, papervis_dir / "condscale_sweep.png", ncol=5)
     if vis.get("knn"):
         from .knn_eval import get_knn_eval_dict
 

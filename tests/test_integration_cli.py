@@ -46,6 +46,7 @@ def test_cli_end_to_end(tmp_path):
         "data.params.validation.params.num_classes=4",
         "data.params.test.params.num_classes=4", "data.num_classes=4",
         "model.params.num_timesteps_test=10", "model.params.num_timesteps_val=5",
+        "vis.condscale=1",  # exercise the condscale-sweep papervis path
         "debug=1", f"log_dir={out_dir}", "name=it",
     ]
     res = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
@@ -61,3 +62,4 @@ def test_cli_end_to_end(tmp_path):
     assert any("clean_fid_raw" in k for k in results)
     # best-FID checkpoint with epoch+score filename exists
     assert any(p.name.startswith("epoch_") for p in (out_dir / "ckpts").iterdir())
+    assert (out_dir / "papervis" / "condscale_sweep.png").exists()
