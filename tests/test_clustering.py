@@ -99,26 +99,28 @@ class TestKNN:
         assert radii.min() >= 0
 
 
+@pytest.fixture()
+def feat_h5(tmp_path):
+    X, y = blobs(n_per=60, k=3, d=8)
+    path = tmp_path / "v4_testds_feat.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("train", data=X[:150])
+        f.create_dataset("val", data=X[150:])
+        f.create_dataset("train_labels", data=y[:150])
+        f.create_dataset("val_labels", data=y[150:])
+        d = f.create_dataset("all_attributes", (1,))
+        d.attrs["dataset_name"] = "testds"
+        d.attrs["feat_from"] = "dino_vitb16"
+        d.attrs["feat_dim"] = 8
+        d.attrs["is_grey"] = 0
+    json.dump(
+        {"name2id": {f"i{i}": i for i in range(180)}},
+        open(str(path).replace(".h5", ".json"), "w"),
+    )
+    return path
+
+
 class TestClusteringCLI:
-    @pytest.fixture()
-    def feat_h5(self, tmp_path):
-        X, y = blobs(n_per=60, k=3, d=8)
-        path = tmp_path / "v4_testds_feat.h5"
-        with h5py.File(path, "w") as f:
-            f.create_dataset("train", data=X[:150])
-            f.create_dataset("val", data=X[150:])
-            f.create_dataset("train_labels", data=y[:150])
-            f.create_dataset("val_labels", data=y[150:])
-            d = f.create_dataset("all_attributes", (1,))
-            d.attrs["dataset_name"] = "testds"
-            d.attrs["feat_from"] = "dino_vitb16"
-            d.attrs["feat_dim"] = 8
-            d.attrs["is_grey"] = 0
-        json.dump(
-            {"name2id": {f"i{i}": i for i in range(180)}},
-            open(str(path).replace(".h5", ".json"), "w"),
-        )
-        return path
 
     def test_schema_and_filename(self, feat_h5, tmp_path):
         out = clustering(
@@ -136,3 +138,24 @@ class TestClusteringCLI:
             assert f["train"][:].min() >= 0
         # sibling json copied
         assert (out.parent / out.name.replace(".h5", ".json")).exists()
+
+
+class TestPCAAndEnsemble:
+    def test_pca_views(self, feat_h5, tmp_path):
+        from sgdm_tpu.selfsup.cluster_pca import clustering_pca
+
+        out = clustering_pca(str(feat_h5), cluster_k=3, niter=5, pca_group=2,
+                             cluster_h5_root=str(tmp_path / "pca"))
+        with h5py.File(out) as f:
+            assert f["train"].shape == (150, 2)
+            assert f["train"][:].min() >= 0
+
+    def test_ensemble(self, feat_h5, tmp_path):
+        from sgdm_tpu.selfsup.cluster_pca import clustering_ensemble
+
+        out = clustering_ensemble(str(feat_h5), cluster_k=3, niter=5,
+                                  ensemble_num=3,
+                                  cluster_h5_root=str(tmp_path / "ens"))
+        with h5py.File(out) as f:
+            assert f["train"].shape == (150, 3)
+            assert "emsemble3" in out.name  # reference filename spelling
