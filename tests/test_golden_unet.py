@@ -1,0 +1,362 @@
+"""Golden test: reference torch UNetModel forward vs our Flax UNet with
+TRANSPLANTED weights.
+
+Builds the reference `dynamic/diffusionmodules/openaimodel.py:466 UNetModel`
+(tiny config), randomizes its weights, maps the torch state dict onto our
+Flax `sgdm_tpu.models.UNetModel` parameter tree (NCHW→NHWC conv transposes,
+per-head QKV re-interleave for QKVAttentionLegacy), and asserts the forwards
+match to fp32 accumulation error — including the fused CFG path
+(`forward_with_cond_scale` vs `make_guided_denoiser`).
+
+This is the proof that our UNet is functionally the reference denoiser,
+which underwrites every FID-parity claim.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# ----------------------------------------------------------------------
+# import the reference model with shims
+# ----------------------------------------------------------------------
+
+class _NoopLogger:
+    def __getattr__(self, _name):
+        return lambda *a, **k: None
+
+
+def _make_einops_exts():
+    import einops
+
+    mod = types.ModuleType("einops_exts")
+    mod.rearrange_many = lambda xs, pattern, **kw: [
+        einops.rearrange(x, pattern, **kw) for x in xs
+    ]
+    mod.repeat_many = lambda xs, pattern, **kw: [
+        einops.repeat(x, pattern, **kw) for x in xs
+    ]
+    mod.check_shape = lambda x, pattern, **kw: x
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_unet_mod():
+    import os
+
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference repo not mounted")
+
+    shims = {
+        "loguru": types.ModuleType("loguru"),
+        "wandb": types.ModuleType("wandb"),
+        "pytorch_lightning": types.ModuleType("pytorch_lightning"),
+        "einops_exts": _make_einops_exts(),
+    }
+    shims["loguru"].logger = _NoopLogger()
+
+    inserted = []
+    for name, mod in shims.items():
+        if name not in sys.modules:
+            sys.modules[name] = mod
+            inserted.append(name)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.append(REFERENCE_ROOT)
+    try:
+        from dynamic.diffusionmodules import openaimodel
+    finally:
+        for name in inserted:
+            sys.modules.pop(name, None)
+    return openaimodel
+
+
+# ----------------------------------------------------------------------
+# torch → flax weight mapping
+# ----------------------------------------------------------------------
+
+def _dense(sd, key):
+    return {
+        "kernel": sd[f"{key}.weight"].numpy().T,
+        "bias": sd[f"{key}.bias"].numpy(),
+    }
+
+
+def _conv2d(sd, key):
+    # torch [out, in, kh, kw] -> flax [kh, kw, in, out]
+    return {
+        "kernel": sd[f"{key}.weight"].numpy().transpose(2, 3, 1, 0),
+        "bias": sd[f"{key}.bias"].numpy(),
+    }
+
+
+def _gn(sd, key):
+    return {"scale": sd[f"{key}.weight"].numpy(), "bias": sd[f"{key}.bias"].numpy()}
+
+
+def _resblock(sd, pfx):
+    p = {
+        "in_norm": _gn(sd, f"{pfx}.in_layers.0"),
+        "in_conv": _conv2d(sd, f"{pfx}.in_layers.2"),
+        "emb_proj": _dense(sd, f"{pfx}.emb_layers.1"),
+        "out_norm": _gn(sd, f"{pfx}.out_layers.0"),
+        "out_conv": _conv2d(sd, f"{pfx}.out_layers.3"),
+    }
+    if f"{pfx}.skip_connection.weight" in sd:
+        p["skip_proj"] = _conv2d(sd, f"{pfx}.skip_connection")
+    return p
+
+
+def _attnblock(sd, pfx, heads):
+    # reference QKVAttentionLegacy channel layout: per head h, rows
+    # [h*3d : h*3d+d] = q, then k, then v (openaimodel.py:405-412).
+    # ours: reshape(b, n, 3, heads, d) → column s*H*d + h*d + i.
+    w = sd[f"{pfx}.qkv.weight"].numpy()[:, :, 0]  # [3c, c]
+    b = sd[f"{pfx}.qkv.bias"].numpy()
+    c3, _ = w.shape
+    d = c3 // (3 * heads)
+    perm = np.zeros(c3, dtype=np.int64)
+    for s in range(3):
+        for h in range(heads):
+            for i in range(d):
+                perm[s * heads * d + h * d + i] = h * 3 * d + s * d + i
+    return {
+        "norm": _gn(sd, f"{pfx}.norm"),
+        "qkv": {"kernel": w[perm].T, "bias": b[perm]},
+        "proj_out": {
+            "kernel": sd[f"{pfx}.proj_out.weight"].numpy()[:, :, 0].T,
+            "bias": sd[f"{pfx}.proj_out.bias"].numpy(),
+        },
+    }
+
+
+def torch_unet_to_flax_params(
+    sd, *, model_channels, num_res_blocks, channel_mult, attention_resolutions,
+    num_heads, cond_dim,
+):
+    """Mirror the construction loops of openaimodel.py:640-838 to walk the
+    torch module indices alongside our flax names."""
+    p = {
+        "time_embed_1": _dense(sd, "time_embed.0"),
+        "time_embed_2": _dense(sd, "time_embed.2"),
+    }
+    if cond_dim > 0:
+        p["mlp_cond_1"] = _dense(sd, "mlp_cond.0")
+        p["mlp_cond_2"] = _dense(sd, "mlp_cond.2")
+
+    bb = {"in_conv": _conv2d(sd, "input_blocks.0.0")}
+    idx, ds = 1, 1
+    for level in range(len(channel_mult)):
+        for i in range(num_res_blocks):
+            bb[f"down_{level}_{i}"] = _resblock(sd, f"input_blocks.{idx}.0")
+            if ds in attention_resolutions:
+                bb[f"down_attn_{level}_{i}"] = _attnblock(
+                    sd, f"input_blocks.{idx}.1", num_heads
+                )
+            idx += 1
+        if level != len(channel_mult) - 1:
+            # resblock_updown=True → the downsampler is a ResBlock
+            bb[f"downsample_{level}"] = _resblock(sd, f"input_blocks.{idx}.0")
+            idx += 1
+            ds *= 2
+
+    bb["mid_res1"] = _resblock(sd, "middle_block.0")
+    bb["mid_attn"] = _attnblock(sd, "middle_block.1", num_heads)
+    bb["mid_res2"] = _resblock(sd, "middle_block.2")
+
+    oidx = 0
+    for level in reversed(range(len(channel_mult))):
+        for i in range(num_res_blocks + 1):
+            bb[f"up_{level}_{i}"] = _resblock(sd, f"output_blocks.{oidx}.0")
+            j = 1
+            if ds in attention_resolutions:
+                bb[f"up_attn_{level}_{i}"] = _attnblock(
+                    sd, f"output_blocks.{oidx}.{j}", num_heads
+                )
+                j += 1
+            if level and i == num_res_blocks:
+                bb[f"upsample_{level}"] = _resblock(sd, f"output_blocks.{oidx}.{j}")
+                ds //= 2
+            oidx += 1
+
+    bb["GroupNorm32_0"] = _gn(sd, "out.0")
+    bb["out_conv"] = _conv2d(sd, "out.2")
+    p["backbone"] = bb
+    return p
+
+
+# ----------------------------------------------------------------------
+# the test
+# ----------------------------------------------------------------------
+
+CFG = dict(
+    model_channels=32,
+    num_res_blocks=2,
+    channel_mult=(1, 2),
+    attention_resolutions=(2,),
+    num_heads=4,
+    cond_dim=10,
+)
+IMG = 8
+
+
+def _build_pair(ref_unet_mod, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    from sgdm_tpu.models import UNetModel as FlaxUNet
+
+    tm = ref_unet_mod.UNetModel(
+        image_size=IMG,
+        in_channels=3,
+        out_channels=3,
+        model_channels=CFG["model_channels"],
+        num_res_blocks=CFG["num_res_blocks"],
+        channel_mult=CFG["channel_mult"],
+        attention_resolutions=CFG["attention_resolutions"],
+        num_heads=CFG["num_heads"],
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+        cond_dim=CFG["cond_dim"],
+        condition=types.SimpleNamespace(scale_type="imagen"),
+        condition_method=None,
+    ).eval()
+    # randomize everything (zero-init out convs would make the test vacuous)
+    # EXCEPT null_cond_emb, which both sides define as frozen zeros
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, prm in tm.named_parameters():
+            if "null_cond_emb" in name:
+                continue
+            prm.copy_(torch.randn(prm.shape, generator=g) * 0.05)
+
+    fm = FlaxUNet(
+        model_channels=CFG["model_channels"],
+        out_channels=3,
+        num_res_blocks=CFG["num_res_blocks"],
+        channel_mult=CFG["channel_mult"],
+        attention_resolutions=CFG["attention_resolutions"],
+        num_heads=CFG["num_heads"],
+        use_scale_shift_norm=True,
+        resblock_updown=True,
+        cond_dim=CFG["cond_dim"],
+        dtype=jnp.float32,
+    )
+    x0 = jnp.zeros((2, IMG, IMG, 3))
+    t0 = jnp.zeros((2,), dtype=jnp.int32)
+    c0 = jnp.zeros((2, CFG["cond_dim"]))
+    init_params = fm.init(jax.random.PRNGKey(0), x0, t0, cond=c0)["params"]
+
+    sd = tm.state_dict()
+    params = torch_unet_to_flax_params(sd, **CFG)
+
+    # every init leaf must be covered with a matching shape
+    init_flat = jax.tree_util.tree_flatten_with_path(init_params)[0]
+    got_flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    assert len(init_flat) == len(got_flat), (
+        sorted(str(k) for k, _ in init_flat),
+        sorted(str(k) for k in got_flat),
+    )
+    for path, leaf in init_flat:
+        assert path in got_flat, path
+        assert got_flat[path].shape == leaf.shape, (path, got_flat[path].shape, leaf.shape)
+
+    import jax.numpy as jnp  # noqa: F811
+    params = jax.tree.map(jnp.asarray, params)
+    return tm, fm, params
+
+
+def test_unet_forward_matches_torch(ref_unet_mod):
+    import jax.numpy as jnp
+
+    tm, fm, params = _build_pair(ref_unet_mod)
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((4, 3, IMG, IMG)).astype(np.float32)
+    t = np.array([0, 10, 500, 999], dtype=np.int64)
+    cond = rng.standard_normal((4, CFG["cond_dim"])).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, _, _ = tm(
+            torch.from_numpy(x), timesteps=torch.from_numpy(t),
+            cond=torch.from_numpy(cond), cond_drop_prob=0.0,
+        )
+    our_out = fm.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        cond=jnp.asarray(cond),
+        cond_drop_mask=jnp.zeros((4,), dtype=bool),
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_out).transpose(0, 3, 1, 2), ref_out.numpy(),
+        rtol=0, atol=3e-5,
+    )
+
+
+def test_unet_uncond_drop_matches_torch(ref_unet_mod):
+    """cond_drop_prob=1 → null (zero) condition on both sides."""
+    import jax.numpy as jnp
+
+    tm, fm, params = _build_pair(ref_unet_mod)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    t = np.array([3, 700], dtype=np.int64)
+    cond = rng.standard_normal((2, CFG["cond_dim"])).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out, _, _ = tm(
+            torch.from_numpy(x), timesteps=torch.from_numpy(t),
+            cond=torch.from_numpy(cond), cond_drop_prob=1.0,
+        )
+    our_out = fm.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        cond=jnp.asarray(cond),
+        cond_drop_mask=jnp.ones((2,), dtype=bool),
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_out).transpose(0, 3, 1, 2), ref_out.numpy(),
+        rtol=0, atol=3e-5,
+    )
+
+
+@pytest.mark.parametrize("cond_scale", [0.0, 1.0, 2.0])
+def test_guided_forward_matches_torch(ref_unet_mod, cond_scale):
+    """forward_with_cond_scale (concat-double CFG) vs make_guided_denoiser."""
+    import jax.numpy as jnp
+
+    from sgdm_tpu.diffusion import make_guided_denoiser
+
+    tm, fm, params = _build_pair(ref_unet_mod)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((2, 3, IMG, IMG)).astype(np.float32)
+    t = np.array([50, 400], dtype=np.int64)
+    cond = rng.standard_normal((2, CFG["cond_dim"])).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = tm.forward_with_cond_scale(
+            torch.from_numpy(x), torch.from_numpy(t),
+            cond_scale=cond_scale, cond=torch.from_numpy(cond),
+        )
+
+    apply_fn = lambda xx, tt, cond_drop_mask=None, **kw: fm.apply(
+        {"params": params}, xx, tt, cond_drop_mask=cond_drop_mask, **kw
+    )
+    guided = make_guided_denoiser(apply_fn, scale_type="imagen")
+    our_out = guided(
+        jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t),
+        cond_scale=cond_scale, cond=jnp.asarray(cond),
+    )
+    np.testing.assert_allclose(
+        np.asarray(our_out).transpose(0, 3, 1, 2), ref_out.numpy(),
+        rtol=0, atol=1e-4,
+    )
