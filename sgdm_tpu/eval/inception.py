@@ -57,13 +57,24 @@ class ConvBN(nn.Module):
         return nn.relu(x * scale + bias)
 
 
-def _avg_pool_3x3_count_include_pad(x: jax.Array) -> jax.Array:
-    """torch AvgPool2d(3, stride=1, padding=1) default count_include_pad=True."""
+def _avg_pool_3x3_no_pad_count(x: jax.Array) -> jax.Array:
+    """F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False).
+
+    The FID network patches every InceptionA/C/E-1 branch_pool to
+    count_include_pad=False (pytorch-fid inception.py FIDInceptionA/C/E_1;
+    clean-fid inception_pytorch.py) — edge windows divide by the number of
+    REAL elements, not 9.
+    """
     s = jax.lax.reduce_window(
         x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
         [(0, 0), (1, 1), (1, 1), (0, 0)],
     )
-    return s / 9.0
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), dtype=x.dtype)
+    count = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / count
 
 
 def _max_pool(x, k, s, p=0):
@@ -82,7 +93,7 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), name="branch3x3dbl_1")(x)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_2")(b3)
         b3 = ConvBN(96, (3, 3), padding=1, name="branch3x3dbl_3")(b3)
-        bp = _avg_pool_3x3_count_include_pad(x)
+        bp = _avg_pool_3x3_no_pad_count(x)
         bp = ConvBN(self.pool_features, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -113,7 +124,7 @@ class InceptionC(nn.Module):
         bd = ConvBN(c7, (1, 7), padding=[(0, 0), (3, 3)], name="branch7x7dbl_3")(bd)
         bd = ConvBN(c7, (7, 1), padding=[(3, 3), (0, 0)], name="branch7x7dbl_4")(bd)
         bd = ConvBN(192, (1, 7), padding=[(0, 0), (3, 3)], name="branch7x7dbl_5")(bd)
-        bp = _avg_pool_3x3_count_include_pad(x)
+        bp = _avg_pool_3x3_no_pad_count(x)
         bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -151,7 +162,7 @@ class InceptionE(nn.Module):
         if self.use_max_pool:
             bp = _max_pool(x, 3, 1, p=1)
         else:
-            bp = _avg_pool_3x3_count_include_pad(x)
+            bp = _avg_pool_3x3_no_pad_count(x)
         bp = ConvBN(192, (1, 1), name="branch_pool")(bp)
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
@@ -212,8 +223,13 @@ def load_torch_weights(path: str | Path) -> dict:
             node = node.setdefault(p, {})
         node[leaf] = jnp.asarray(value)
 
-    # group keys by conv-bn module prefix
-    prefixes = sorted({k.rsplit(".", 2)[0] for k in sd if ".conv.weight" in k})
+    # group keys by conv-bn module prefix; the training-time auxiliary
+    # classifier head (AuxLogits.*) is present in the pth but unused at
+    # inference by every FID stack — skip it
+    prefixes = sorted({
+        k.rsplit(".", 2)[0] for k in sd
+        if ".conv.weight" in k and not k.startswith("AuxLogits.")
+    })
     for prefix in prefixes:
         w = sd[f"{prefix}.conv.weight"].numpy()          # OIHW
         gamma = sd[f"{prefix}.bn.weight"].numpy()
