@@ -16,6 +16,21 @@ from .loader import DataLoader
 __all__ = ["DataModuleFromConfig"]
 
 
+def _process_shard(batch_size: int) -> "slice | None":
+    """On a multi-host run, this process's slice of every global batch
+    (per-rank DataLoader parity, SURVEY.md §5.8); None single-host."""
+    try:
+        import jax
+
+        from ..parallel.mesh import local_batch_slice
+
+        if jax.process_count() > 1:
+            return local_batch_slice(batch_size)
+    except Exception:
+        pass
+    return None
+
+
 class DataModuleFromConfig:
     def __init__(
         self,
@@ -48,6 +63,7 @@ class DataModuleFromConfig:
             drop_last=True,  # parity: dm.py drop_last=True on every split
             num_workers=self.num_workers,
             seed=self.seed,
+            shard=_process_shard(self.batch_size),
         )
 
     def train_dataloader(self) -> DataLoader:

@@ -50,7 +50,15 @@ class DataLoader:
         seed: int = 23,
         collate_fn: Callable | None = None,
         prefetch_batches: int = 4,
+        shard: slice | None = None,
     ):
+        """``batch_size`` is always the GLOBAL batch size.  On a multi-host
+        run each process passes its ``shard`` (from
+        `parallel.mesh.local_batch_slice`): the global index order is built
+        identically on every host (same seed/epoch), and each host loads and
+        collates only its slice — mirroring the reference's per-rank DDP
+        DataLoaders (SURVEY.md §5.8).  `__len__` stays the global step count
+        so all hosts run in lockstep."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -59,6 +67,7 @@ class DataLoader:
         self.seed = seed
         self.collate_fn = collate_fn or _collate
         self.prefetch_batches = prefetch_batches
+        self.shard = shard
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -75,7 +84,12 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         nb = len(self)
-        return [idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)]
+        batches = [
+            idx[i * self.batch_size:(i + 1) * self.batch_size] for i in range(nb)
+        ]
+        if self.shard is not None:
+            batches = [b[self.shard] for b in batches]
+        return batches
 
     def __iter__(self) -> Iterator[dict[str, np.ndarray]]:
         batches = self._index_batches()

@@ -55,24 +55,41 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, batch_axis: str = "data") -> Any:
-    """Device-put a host batch pytree with dim-0 sharded over the mesh."""
+    """Place a host batch pytree on the mesh with dim 0 sharded.
+
+    Single-process: a plain sharded `device_put`.  Multi-host: each process
+    holds only its `local_batch_slice` of the global batch (the loader
+    loaded just that slice), and the pieces are assembled into one global
+    jax.Array via `make_array_from_process_local_data` — the distributed
+    analogue of DDP's per-rank batches (SURVEY.md §5.8).
+    """
     sharding = data_sharding(mesh, batch_axis)
+    multihost = jax.process_count() > 1
 
     def put(x):
         if x is None:
             return None
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
         return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 
 
-def local_batch_slice(global_batch: int, mesh: Mesh, batch_axis: str = "data") -> slice:
+def local_batch_slice(
+    global_batch: int,
+    *,
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> slice:
     """This process's slice of the global batch (multi-host input pipeline).
 
     Mirrors the reference's per-rank DataLoader split (each DDP rank loads
-    its own shard; SURVEY.md §5.8).
+    its own shard; SURVEY.md §5.8).  Pass explicit index/count to simulate
+    multi-process splits in tests.
     """
-    n_proc = jax.process_count()
+    n_proc = process_count if process_count is not None else jax.process_count()
+    i = process_index if process_index is not None else jax.process_index()
+    assert global_batch % n_proc == 0, (global_batch, n_proc)
     per = global_batch // n_proc
-    i = jax.process_index()
     return slice(i * per, (i + 1) * per)

@@ -289,11 +289,22 @@ class SelfGuidedDiffusionTrainer:
         self._eval_step = self._eval_step or make_eval_step(
             self.model, self.diffusion, mesh=self.mesh,
         )
+        pl_trainer = (to_container(self.hparams.get("pl") or {}).get("trainer") or {})
+        limit_val = pl_trainer.get("limit_val_batches", 8)
+        limit_val = (
+            int(len(val_dl) * limit_val) if isinstance(limit_val, float)
+            else int(limit_val)
+        )
         rng = jax.random.PRNGKey(self.seed + 2 + epoch)
         losses, losses_ema = [], []
         for i, raw in enumerate(val_dl):
-            if i >= 8:  # val loss on a few batches is plenty for tracking
+            if i >= limit_val:
                 break
+            # NOTE: training=False forces cond_drop_prob=1.0 in the
+            # conditioning glue, so val loss is the UNCONDITIONAL loss even
+            # for conditional models — faithful to the reference
+            # (dynamic_input/condition.py:13 `... if pl_module.training else
+            # 1.0` flows into shared_step's loss pass at val time).
             batch = self._device_batch(raw, training=False)
             losses.append(float(self._eval_step(self.state.params, batch, rng)["loss"]))
             losses_ema.append(
