@@ -106,9 +106,12 @@ class VisionTransformer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, out: str = "cls"):
+    def __call__(self, x: jax.Array, out: str = "cls",
+                 patch_keep_ids: jax.Array | None = None):
         """x: [B,H,W,3] normalized (imagenet stats).  out ∈ {cls, tokens,
-        qkv_last, attn_last}."""
+        qkv_last, attn_last}.  ``patch_keep_ids`` [B, n_keep] selects a
+        subset of patch tokens to process (MSN anchor patch_drop,
+        self_sl/msn/src/deit.py forward patch_drop)."""
         b, hh, ww, _ = x.shape
         p = self.patch_size
         gh, gw = hh // p, ww // p
@@ -123,8 +126,17 @@ class VisionTransformer(nn.Module):
                          (1, 1 + g0 * g0, self.embed_dim))
         # params stored at the checkpoint grid; interpolate at apply time
         pos = interpolate_pos_embed(pos, (gh, gw))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.embed_dim)), x],
-                            axis=1) + pos
+        if patch_keep_ids is not None:
+            x = x + pos[:, 1:]
+            x = jnp.take_along_axis(x, patch_keep_ids[..., None], axis=1)
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls + pos[:, :1], (b, 1, self.embed_dim)), x],
+                axis=1,
+            )
+        else:
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls, (b, 1, self.embed_dim)), x], axis=1
+            ) + pos
 
         qkv_last = None
         for i in range(self.depth):

@@ -81,12 +81,38 @@ def _find_ckpt(name: str, ckpt_path: str | None) -> str | None:
     return None
 
 
+def _load_native_backbone(name: str, path: str, image_size: int) -> SSLBackbone:
+    """Encoder checkpoints exported by our own MSN/MAE trainers
+    (`selfsup.pretrain_common.save_encoder_ckpt`): flax-serialized params in
+    VisionTransformer layout + a .json meta describing the architecture."""
+    import json
+
+    from ..models.vit import VisionTransformer
+    from .pretrain_common import load_encoder_ckpt
+
+    meta = json.loads(Path(str(path) + ".json").read_text())
+    model = VisionTransformer(
+        patch_size=meta["patch_size"], embed_dim=meta["embed_dim"],
+        depth=meta["depth"], num_heads=meta["num_heads"],
+        pretrain_img_size=meta["pretrain_img_size"],
+    )
+    x = jnp.zeros((1, meta["pretrain_img_size"], meta["pretrain_img_size"], 3))
+    template = model.init(jax.random.PRNGKey(0), x)["params"]
+    params = load_encoder_ckpt(path, template)
+    logger.info(f"loaded native {meta.get('method', '?')} encoder from {path}")
+    return SSLBackbone(name, model, params, image_size=image_size)
+
+
 def get_ssl_backbone(
     name: str = "dino_vitb16", image_size: int = 224,
     ckpt_path: str | None = None, seed: int = 0,
 ) -> SSLBackbone:
     """Parity: self_sl/ssl_backbone.py:373 get_ssl_backbone (DINO family;
-    MAE/MSN/SimCLR load through the same ViT port when checkpoints exist)."""
+    MAE/MSN/SimCLR load through the same ViT port when checkpoints exist).
+    A `.msgpack` ckpt_path loads a natively pre-trained encoder (our MSN/MAE
+    trainers) with its architecture taken from the sidecar meta json."""
+    if ckpt_path and str(ckpt_path).endswith(".msgpack"):
+        return _load_native_backbone(name, ckpt_path, image_size)
     builders = {
         "dino_vits16": lambda: vit_small(16),
         "dino_vits8": lambda: vit_small(8),
