@@ -41,24 +41,47 @@ def extract_feat(
     ckpt_path: str | None = None,
     version: str = "v4",
     crops: int = 1,
+    spatial: bool = False,
+    resampled_size: int = 14,
+    attention_map: bool = False,
 ) -> Path:
     """``crops=10`` writes the tencrop variant: [N, 10, feat_dim] datasets
-    (feat_tencrop.py parity); ``crops=1`` is the standard CLS-feature file."""
+    (feat_tencrop.py parity); ``crops=1`` is the standard CLS-feature file.
+
+    ``spatial=True`` writes the per-token 'withpatches' file consumed by
+    patch clustering: datasets [N, 1 + resampled_size², feat_dim] plus the
+    `resampled_size` attribute (`clustering/utils/cluster_patch.py:46-63`).
+    ``attention_map=True`` additionally writes `{split}_attentions`
+    [N, heads, n_patches] — the last-block CLS attention
+    (`feat_nospatial.py:245-259`)."""
     backbone = get_ssl_backbone(feat_from, ckpt_path=ckpt_path)
     out_root = Path(out_root).expanduser()
     out_root.mkdir(parents=True, exist_ok=True)
     time_str = datetime.now().isoformat(timespec="hours")
-    suffix = "_tencrop" if crops == 10 else ""
+    suffix = "_tencrop" if crops == 10 else ("_withpatches" if spatial else "")
     out_path = out_root / (
         f"{version}_{dataset_name}_{feat_from}{suffix}_grey{int(is_grey)}_{time_str}.h5"
     )
+    n_tokens = 1 + resampled_size * resampled_size
+    n_patches = (backbone.image_size // backbone.model.patch_size) ** 2
+    n_heads = backbone.model.num_heads
 
     id2name: dict[int, str] = {}
     with h5py.File(out_path, "w") as f:
         for split, ds in [("train", dataset_train), ("val", dataset_val)]:
             n = len(ds)
-            shape = (n, backbone.feat_dim) if crops == 1 else (n, crops, backbone.feat_dim)
+            if spatial:
+                shape = (n, n_tokens, backbone.feat_dim)
+            elif crops == 10:
+                shape = (n, crops, backbone.feat_dim)
+            else:
+                shape = (n, backbone.feat_dim)
             feats = f.create_dataset(split, shape, dtype="f4")
+            attn_ds = (
+                f.create_dataset(f"{split}_attentions",
+                                 (n, n_heads, n_patches), dtype="f4")
+                if attention_map else None
+            )
             has_labels = "label_id" in ds[0] or "label" in ds[0]
             labels = (
                 f.create_dataset(f"{split}_labels", (n,), dtype="i8")
@@ -78,9 +101,15 @@ def extract_feat(
                     feat = backbone.batch_encode_feat(
                         backbone.transform_batch(flat)
                     ).reshape(b_, c_, -1)
+                elif spatial:
+                    x = backbone.transform_batch(imgs)
+                    feat = backbone.batch_encode_tokens(x, resampled_size)
                 else:
                     x = backbone.transform_batch(imgs)
                     feat = backbone.batch_encode_feat(x)
+                if attn_ds is not None:
+                    x = backbone.transform_batch(imgs)
+                    attn_ds[i:i + len(imgs)] = backbone.batch_encode_cls_attention(x)
                 b = len(feat)
                 feats[i:i + b] = feat
                 if labels is not None:
@@ -105,6 +134,8 @@ def extract_feat(
         attrs.attrs["feat_dim"] = backbone.feat_dim
         attrs.attrs["version"] = version
         attrs.attrs["is_grey"] = int(is_grey)
+        if spatial:
+            attrs.attrs["resampled_size"] = resampled_size
 
     json.dump(
         {
@@ -150,11 +181,17 @@ def main() -> None:
     p.add_argument("--ckpt", default=None)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--tencrop", action="store_true")
+    p.add_argument("--spatial", action="store_true",
+                   help="write per-token features (patch clustering input)")
+    p.add_argument("--resampled_size", type=int, default=14)
+    p.add_argument("--attn", action="store_true",
+                   help="also write last-block CLS attention maps")
     a = p.parse_args()
     train, val = _build_datasets(a.ds, a.image_size, a.data_root, a.debug)
     extract_feat(train, val, dataset_name=a.ds, feat_from=a.feat,
                  batch_size=a.bs, out_root=a.out_root, ckpt_path=a.ckpt,
-                 crops=10 if a.tencrop else 1)
+                 crops=10 if a.tencrop else 1, spatial=a.spatial,
+                 resampled_size=a.resampled_size, attention_map=a.attn)
 
 
 if __name__ == "__main__":

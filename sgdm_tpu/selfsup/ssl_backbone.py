@@ -50,7 +50,17 @@ class SSLBackbone:
         def _encode(params, x):
             return model.apply({"params": params}, x, out="cls")
 
+        @jax.jit
+        def _encode_tokens(params, x):
+            return model.apply({"params": params}, x, out="tokens")
+
+        @jax.jit
+        def _encode_attn(params, x):
+            return model.apply({"params": params}, x, out="attn_last")
+
         self._encode = _encode
+        self._encode_tokens = _encode_tokens
+        self._encode_attn = _encode_attn
 
     def transform_batch(self, imgs_uint8: np.ndarray) -> jnp.ndarray:
         """uint8 [B,H,W,3] → resized 224 + imagenet-normalized float32.
@@ -68,6 +78,29 @@ class SSLBackbone:
     def batch_encode_feat(self, batch: jnp.ndarray) -> np.ndarray:
         """CLS-token features [B, feat_dim]."""
         return np.asarray(self._encode(self.params, batch))
+
+    def batch_encode_tokens(self, batch: jnp.ndarray,
+                            resampled_size: int = 14) -> np.ndarray:
+        """Per-token features [B, 1 + S², feat_dim]: CLS + the patch-token
+        grid adaptively average-pooled to S×S (the 'withpatches' spatial
+        feat file consumed by `clustering/utils/cluster_patch.py:35`,
+        attrs['resampled_size'])."""
+        toks = self._encode_tokens(self.params, batch)  # [B, 1+n, D]
+        cls, patches = toks[:, :1], toks[:, 1:]
+        b, n, d = patches.shape
+        g = int(round(float(n) ** 0.5))
+        s = resampled_size
+        grid = patches.reshape(b, g, g, d)
+        if g != s:
+            grid = jax.image.resize(grid, (b, s, s, d), method="linear")
+        out = jnp.concatenate([cls, grid.reshape(b, s * s, d)], axis=1)
+        return np.asarray(out)
+
+    def batch_encode_cls_attention(self, batch: jnp.ndarray) -> np.ndarray:
+        """Last-block CLS→patch attention [B, heads, n_patches]
+        (feat_nospatial.py:173-176: `attentions[:, :, 0, 1:]`)."""
+        attn = self._encode_attn(self.params, batch)  # [B, H, N, N]
+        return np.asarray(attn[:, :, 0, 1:])
 
 
 def _find_ckpt(name: str, ckpt_path: str | None) -> str | None:
