@@ -1,9 +1,10 @@
 """KNN evaluation: embed generated + real images, find nearest neighbors.
 
 TPU-native rewrite of `eval/eval_knn.py` — embed the sample dir and the GT
-dir with an SSL backbone (the reference uses SimCLR-rn50; here any backbone
-from `selfsup.ssl_backbone`, defaulting to DINO ViT-S/16), run exact kNN on
-TPU (`ops.knn`), report the mean NN distance and save query→neighbor grids.
+dir with the SimCLR ResNet-50 encoder (the reference's embedder,
+`self_sl/simclr_related.py:26-44`; any backbone from `selfsup.ssl_backbone`
+can be substituted), run exact kNN on TPU (`ops.knn`), report the mean NN
+distance and save query→neighbor grids.
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def embed_image_dir(folder: str | Path, backbone=None, batch_size: int = 128,
     if backbone is None:
         from ..selfsup.ssl_backbone import get_ssl_backbone
 
-        backbone = get_ssl_backbone("dino_vits16")
+        backbone = get_ssl_backbone("simclr_rn50")
     imgs = _load_dir(folder, max_items)
     feats = []
     for i in range(0, len(imgs), batch_size):

@@ -33,6 +33,7 @@ _CKPT_NAMES = {
     "dino_vits8": "dino_deitsmall8_pretrain.pth",
     "dino_vitb16": "dino_vitbase16_pretrain.pth",
     "dino_vitb8": "dino_vitbase8_pretrain.pth",
+    "simclr_rn50": "simclr_imagenet.ckpt",
 }
 
 
@@ -44,11 +45,15 @@ class SSLBackbone:
         self.model = model
         self.params = params
         self.image_size = image_size
-        self.feat_dim = model.embed_dim
+        self._is_vit = hasattr(model, "embed_dim")
+        self.feat_dim = model.embed_dim if self._is_vit else model.feat_dim
+        is_vit = self._is_vit
 
         @jax.jit
         def _encode(params, x):
-            return model.apply({"params": params}, x, out="cls")
+            if is_vit:
+                return model.apply({"params": params}, x, out="cls")
+            return model.apply({"params": params}, x)
 
         @jax.jit
         def _encode_tokens(params, x):
@@ -146,6 +151,8 @@ def get_ssl_backbone(
     trainers) with its architecture taken from the sidecar meta json."""
     if ckpt_path and str(ckpt_path).endswith(".msgpack"):
         return _load_native_backbone(name, ckpt_path, image_size)
+    from ..models.resnet import ResNet50, load_simclr_torch_weights
+
     builders = {
         "dino_vits16": lambda: vit_small(16),
         "dino_vits8": lambda: vit_small(8),
@@ -154,6 +161,9 @@ def get_ssl_backbone(
         "mae_vitb16": lambda: vit_base(16),
         "msn_vits16": lambda: vit_small(16),
         "msn_vitb16": lambda: vit_base(16),
+        # the pl_bolts SimCLR ResNet-50 encoder — the KNN-eval embedder
+        # (self_sl/simclr_related.py:26-44)
+        "simclr_rn50": ResNet50,
     }
     if name not in builders:
         raise ValueError(f"unknown ssl backbone {name}; have {list(builders)}")
@@ -161,7 +171,8 @@ def get_ssl_backbone(
     path = _find_ckpt(name, ckpt_path)
     if path:
         logger.info(f"loading {name} weights from {path}")
-        params = load_dino_torch_weights(path)
+        params = (load_simclr_torch_weights(path) if name == "simclr_rn50"
+                  else load_dino_torch_weights(path))
     else:
         logger.warning(
             f"No checkpoint for {name} (set SGDM_SSL_CKPT_DIR). Using a "
