@@ -121,7 +121,11 @@ def main() -> None:
                    help="use Pallas kernels in the TRAIN step too (measured "
                         "slower: custom-VJP blocks backward fusion)")
     p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
-    p.add_argument("--remat", action="store_true")
+    p.add_argument("--remat", choices=["none", "conv", "full"], default=None,
+                   help="activation checkpointing: 'conv' saves conv outputs "
+                        "and recomputes the cheap GN/SiLU chains (keeps the "
+                        "flagship bs=256 step inside 16 GB HBM — no host "
+                        "offload); 'full' remats whole ResBlocks")
     args = p.parse_args()
 
     if args.quick:
@@ -132,7 +136,10 @@ def main() -> None:
     # training default = XLA path (fastest measured); sampling auto-enables
     # the Pallas kernels inside make_sample_fn
     kw["use_pallas"] = bool(args.pallas)
-    kw["use_checkpoint"] = args.remat
+    # default: selective conv-saving remat (fastest measured — avoids the
+    # 16 GB HBM overflow that host-offloads the optimizer update)
+    remat = args.remat if args.remat is not None else "conv"
+    kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
 
     sps, loss = bench_train(**kw)
     result = {

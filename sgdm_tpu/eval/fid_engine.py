@@ -221,12 +221,18 @@ def sample_to_dir(
     sample_dir: str | Path,
     *,
     save_gt_dir: str | Path | None = None,
+    batch_transform: Callable[[dict], dict] | None = None,
+    vis_callback: Callable[[int, dict, np.ndarray], None] | None = None,
+    vis_batches: int = 2,
 ) -> Path:
     """Sample ceil(fid_num/bs) batches and dump img{i}.png.
 
     ``sample_fn(raw_batch, seed) -> uint8 [B,H,W,C]`` (conditioning + CFG
-    inside).  Parity: eval_fid.py:476-608 (core path, papervis hooks live in
-    the harness).
+    inside).  Parity: eval_fid.py:476-608.  ``batch_transform`` mirrors
+    `eval_fid_callback_before` (samecondition/interp batch rewrites) and
+    ``vis_callback(batch_id, raw_batch, samples)`` mirrors
+    `eval_fid_callback_after` (papervis grids), applied to the first
+    ``vis_batches`` batches only (the reference's harddrive_vis_num cap).
     """
     from PIL import Image
 
@@ -236,7 +242,11 @@ def sample_to_dir(
         Path(save_gt_dir).mkdir(parents=True, exist_ok=True)
     i = 0
     for bi, batch in enumerate(cycle(loader)):
+        if batch_transform is not None:
+            batch = batch_transform(dict(batch))
         imgs = np.asarray(sample_fn(batch, bi))
+        if vis_callback is not None and bi < vis_batches:
+            vis_callback(bi, batch, imgs)
         for img in imgs:
             if i >= fid_num:
                 return sample_dir

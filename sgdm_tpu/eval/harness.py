@@ -60,8 +60,11 @@ def _process_suffix() -> str:
 def _make_batch_sample_fn(trainer, cond_scale: float,
                           sampling_method: str | None = None,
                           num_steps: int | None = None,
-                          random_sample_condition: bool = False):
-    """raw batch dict → uint8 samples, via the trainer's jitted sampler."""
+                          random_sample_condition: bool = False,
+                          want_chain: bool = False):
+    """raw batch dict → uint8 samples, via the trainer's jitted sampler.
+    With ``want_chain`` the fn returns (samples, pred_x0 chain [K,B,H,W,C])
+    for the chainvis figure modes."""
     import jax
     import jax.numpy as jnp
 
@@ -84,7 +87,7 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
         cond = kw.get("cond")
         layout = kw.get("layout")
         b, h, w, c = batch["image"].shape
-        imgs, _ = trainer.sampling_progressive(
+        imgs, inter = trainer.sampling_progressive(
             b, h, c,
             jax.random.PRNGKey(seed),
             cond=None if cond is None else jnp.asarray(cond, dtype=jnp.float32),
@@ -93,9 +96,125 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
             sampling_method=sampling_method,
             num_steps=num_steps,
         )
+        if want_chain:
+            chain = np.clip(
+                (np.asarray(inter["pred_x0"]) + 1) * 127.5, 0, 255
+            ).astype(np.uint8)
+            return np.asarray(imgs), chain
         return np.asarray(imgs)
 
     return sample_fn
+
+
+def _ds_vis_params(image_size: int) -> tuple[int, int]:
+    """(samecondition_num, grid padding) — eval_fid.py:195-213 keyed by
+    dataset name; here by the equivalent image size (32→18/1, 64→9/2,
+    larger→11/5)."""
+    if image_size <= 32:
+        return 18, 1
+    if image_size <= 64:
+        return 9, 2
+    return 11, 5
+
+
+def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
+                    image_size: int):
+    """Build (batch_transform, vis_callback) for the FID sampling loop.
+
+    Parity: eval_fid.py:216-280 `eval_fid_callback_before` (batch rewrites)
+    + :283-474 `eval_fid_callback_after` (papervis grids).  Returns
+    (None, None) when no in-loop vis toggle is on.
+    """
+    from ..utils.batch_ops import (
+        batch_interp_condition,
+        batch_to_samecondition,
+        batch_to_samecondition_v2,
+    )
+    from . import papervis as pv
+
+    same_n, pad = _ds_vis_params(image_size)
+    m = trainer.condition_method
+    prefix = f"{m or 'uncond'}"
+
+    v2_modes = {  # toggle → key that keeps its own rows (eval_fid.py:241-280)
+        "same_cluster_diff_lost": "lostbboxmask",
+        "diff_cluster_same_lost": "cluster",
+        "same_stego_diff_cluster": "cluster",
+        "diff_z_same_stego": "cluster",
+    }
+    before_on = [k for k in ("samecondition", "same_cluster_same_lost",
+                             *v2_modes) if vis.get(k)]
+    after_on = [k for k in (
+        "random", "random_stego_with_mask", "random_lost_with_box",
+        "samecondition", "interp", "same_cluster_same_lost", *v2_modes,
+    ) if vis.get(k)]
+    if not (before_on or after_on):
+        return None, None
+
+    def batch_transform(batch: dict) -> dict:
+        if vis.get("samecondition") or vis.get("same_cluster_same_lost"):
+            batch = batch_to_samecondition(batch, same_n)
+        for mode, diff_key in v2_modes.items():
+            if vis.get(mode):
+                n = 8 if mode == "diff_z_same_stego" else same_n
+                batch = batch_to_samecondition_v2(batch, diff_key, n)
+        if vis.get("interp") and m and m in batch and \
+                np.asarray(batch[m]).ndim == 2:
+            c = np.asarray(batch[m])
+            n_pts = int((vis.get("interp_c") or {}).get("n", 9))
+            mixed = batch_interp_condition(c, n_pts)[: len(c)]
+            if len(mixed) < len(c):
+                mixed = np.concatenate([mixed, c[len(mixed):]])
+            batch[m] = mixed
+        return batch
+
+    def vis_callback(bi: int, batch: dict, samples: np.ndarray) -> None:
+        p = papervis_dir
+        stego = batch.get("stegomask")
+        lost = batch.get("lostbboxmask")
+        img = batch.get("image")
+        if vis.get("random"):
+            ncol = 16 if image_size <= 32 else 9
+            pv.draw_grid_img(samples[: ncol * ncol],
+                             p / f"{prefix}_random_uncurated_{bi}.png",
+                             ncol=ncol, padding=pad)
+        if vis.get("random_stego_with_mask") and stego is not None:
+            pv.draw_grid_random_stego_with_mask(
+                samples[:32], stego[:32], img[:32],
+                p / f"{prefix}_random_stego_with_mask_{bi}.png",
+                ncol=4, padding=pad)
+        if vis.get("random_lost_with_box") and lost is not None:
+            pv.draw_grid_random_lost_with_box(
+                samples[:64], lost[:64],
+                p / f"{prefix}_random_lost_with_box_{bi}.png",
+                ncol=8, padding=pad)
+        if vis.get("samecondition"):
+            pv.draw_grid_img(samples, p / f"{prefix}_samecondition_{bi}.png",
+                             ncol=same_n, padding=pad)
+        if vis.get("interp"):
+            ic = vis.get("interp_c") or {}
+            n_pts = int(ic.get("n", 9))
+            n_smp = int(ic.get("samples", 16))
+            pv.draw_grid_interp(samples[: n_pts * n_smp],
+                                p / f"{prefix}_interp_{bi}.png",
+                                ncol=n_pts, padding=pad)
+        for mode in ("same_cluster_same_lost", "same_cluster_diff_lost",
+                     "diff_cluster_same_lost"):
+            if vis.get(mode) and lost is not None:
+                for gi, s0 in enumerate(range(0, len(samples) - same_n, same_n)):
+                    pv.draw_grid_lost_bbox(
+                        samples[s0:s0 + same_n], lost[s0:s0 + same_n],
+                        img[s0:s0 + same_n],
+                        p / f"{prefix}_{mode}_{bi}_{gi}.png", padding=pad)
+        for mode, n in (("same_stego_diff_cluster", same_n),
+                        ("diff_z_same_stego", 8)):
+            if vis.get(mode) and stego is not None:
+                for gi, s0 in enumerate(range(0, len(samples) - n, n)):
+                    pv.draw_grid_stego(
+                        samples[s0:s0 + n], stego[s0:s0 + n], img[s0:s0 + n],
+                        p / f"{prefix}_{mode}_{bi}_{gi}.png", padding=pad)
+
+    return (batch_transform if before_on else None), vis_callback
 
 
 def _resolve_gt_dir(data_cfg: Mapping[str, Any]) -> Path:
@@ -191,14 +310,28 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
     num_steps = int(trainer.diff_params.get("num_timesteps_test", 250))
     log_dir = Path(trainer.log_dir)
 
+    # in-loop papervis hooks ride the main FID sampling loop
+    # (eval_fid.py:216-474 callbacks) — built once, applied to main runs
+    vis = cfg.get("vis") or {}
+    papervis_dir = log_dir / "papervis"
+    first_raw = next(iter(train_dl))
+    image_size = first_raw["image"].shape[1]
+    batch_transform, vis_callback = _make_vis_hooks(
+        trainer, vis, papervis_dir, image_size
+    )
+
     def one_run(tag: str, cond_scale: float, *, method=None, steps=None,
-                random_cond=False, num=None):
+                random_cond=False, num=None, with_vis=False):
         sample_dir = log_dir / f"test_{tag}{_process_suffix()}"
         fn = _make_batch_sample_fn(
             trainer, cond_scale, method or sampling_method, steps or num_steps,
             random_sample_condition=random_cond,
         )
-        sample_to_dir(fn, train_dl, num or fid_num, sample_dir)
+        sample_to_dir(
+            fn, train_dl, num or fid_num, sample_dir,
+            batch_transform=batch_transform if with_vis else None,
+            vis_callback=vis_callback if with_vis else None,
+        )
         d, fid = get_fid_dict(sample_dir, gt_dir, _extractor(), debug=debug)
         results.update({f"test/{tag}/{k}": v for k, v in d.items()})
         if trainer.tracker:
@@ -209,10 +342,13 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
         logger.warning(f"test[{tag}] fid={fid}")
         return fid
 
-    # cond-scale list [s, 0] (exp.cond_scale toggle)
+    # cond-scale list [s, 0] (exp.cond_scale toggle); the papervis hooks
+    # ride the main (non-zero scale) run like the reference's eval_fid loop
     if exp.get("cond_scale", True):
-        for s in get_condition_scale_list(trainer.cond_scale):
-            one_run(f"{sampling_method}{num_steps}_s{s}", float(s))
+        scale_list = get_condition_scale_list(trainer.cond_scale)
+        for s in scale_list:
+            one_run(f"{sampling_method}{num_steps}_s{s}", float(s),
+                    with_vis=(s == scale_list[0]))
 
     if exp.get("test_oracle"):
         one_run("oracle", 0.0, method="directimage",
@@ -255,9 +391,136 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
         results.update({f"test/condmix/{k}": v for k, v in d.items()})
         logger.warning(f"test[condmix] fid={fid}")
 
-    # vis toggles (run_exp.py:26-71 run_test_vis)
-    vis = cfg.get("vis") or {}
-    papervis_dir = log_dir / "papervis"
+    if exp.get("scoremix"):
+        # score-level condition mixing (run_exp.py:132-134; the reference's
+        # sampler path is NotImplementedError — this one works, see
+        # training.state.make_scoremix_sample_fn).  Each consecutive
+        # condition pair is swept over `interp` mixing weights in ONE
+        # jitted call (per-sample weights); same_noise repeats x_T per pair.
+        import jax
+        import jax.numpy as jnp
+
+        from ..training.state import make_scoremix_sample_fn
+        from .papervis import draw_grid_scoremix
+
+        sc = exp.get("scoremix_c") or {}
+        interp = int(sc.get("interp", 3))
+        same_noise = bool(sc.get("same_noise", True))
+        mixer = make_scoremix_sample_fn(
+            trainer.model, trainer.diffusion,
+            sampling_method=sampling_method, num_steps=num_steps,
+            cond_scale=float(trainer.cond_scale or 1.0),
+            scale_type=trainer.scale_type,
+            clip_denoised=trainer.clip_denoised, dtp=trainer.dtp,
+        )
+
+        def scoremix_fn(batch, seed):
+            kw = prepare_sampling_kwargs(
+                trainer.condition_method, dict(batch),
+                trainer.cond_scale, condition_cfg=trainer.condition_cfg,
+                cond_drop_prob=trainer.cond_drop_prob or 0.1,
+            )
+            cond = np.asarray(kw["cond"])
+            n_pairs = max(len(cond) // interp, 1)
+            # pair p = (cond[p], cond[p+1]); rows = pairs × interp weights
+            ca = np.repeat(cond[:n_pairs], interp, axis=0)
+            cb = np.repeat(np.roll(cond, -1, axis=0)[:n_pairs], interp, axis=0)
+            w = np.tile(np.linspace(0.0, 1.0, interp), n_pairs)
+            b = len(ca)
+            h = batch["image"].shape[1]
+            c = batch["image"].shape[-1]
+            rng = jax.random.PRNGKey(seed)
+            x_T = None
+            if same_noise:
+                noise = jax.random.normal(rng, (n_pairs, h, h, c))
+                x_T = jnp.repeat(noise, interp, axis=0)
+            imgs, _ = mixer(
+                trainer.state.ema_params, rng, b, h, c,
+                jnp.asarray(ca, jnp.float32), jnp.asarray(cb, jnp.float32),
+                jnp.asarray(w, jnp.float32), x_T=x_T,
+            )
+            return np.asarray(imgs)
+
+        sample_dir = log_dir / f"test_scoremix{_process_suffix()}"
+        sample_to_dir(scoremix_fn, train_dl, fid_num, sample_dir)
+        d, fid = get_fid_dict(sample_dir, gt_dir, _extractor(), debug=debug)
+        results.update({f"test/scoremix/{k}": v for k, v in d.items()})
+        # papervis panel: rows = pairs, cols = mixing weights
+        first = scoremix_fn(dict(first_raw), 0)
+        draw_grid_scoremix(first, log_dir / "papervis" / "scoremix.png",
+                           ncol=interp)
+        logger.warning(f"test[scoremix] fid={fid}")
+
+    # standalone vis toggles (run_exp.py:26-71 run_test_vis + the chainvis
+    # modes of eval_fid.py:323-357, drawn from one dedicated batch)
+    if vis.get("kmeans_vis"):
+        # grids of REAL train images per cluster id (run_test_vis:30-48)
+        from .papervis import draw_grid_clustervis
+
+        rng = np.random.default_rng(0)
+        k = int((trainer.condition_cfg.get("cluster") or {}).get("k", 100))
+        cluster_ids = rng.integers(0, max(k, 1), size=20)
+        per = 256 if image_size <= 32 else 32
+        found: dict[int, list] = {int(i): [] for i in cluster_ids}
+        for raw in train_dl:
+            cl = raw.get("cluster")
+            if cl is None:
+                break
+            ids = np.asarray(cl).argmax(-1)
+            for j, cid in enumerate(ids):
+                bucket = found.get(int(cid))
+                if bucket is not None and len(bucket) < per:
+                    bucket.append(np.clip(
+                        (np.asarray(raw["image"][j]) + 1) * 127.5, 0, 255
+                    ).astype(np.uint8))
+            if all(len(v) >= per for v in found.values()):
+                break
+        ncol = 16 if image_size <= 32 else 8
+        for cid, imgs in found.items():
+            if imgs:
+                draw_grid_clustervis(
+                    imgs, papervis_dir / f"cluster{cid}.png", ncol=ncol)
+
+    if vis.get("cluster_hist_vis"):
+        # images-per-cluster histogram (papervis_utils.py:90-97)
+        from .papervis import cluster_hist_vis_fn
+
+        counts: dict[int, int] = {}
+        for raw in train_dl:
+            cl = raw.get("cluster")
+            if cl is None:
+                break
+            for cid in np.asarray(cl).argmax(-1):
+                counts[int(cid)] = counts.get(int(cid), 0) + 1
+        if counts:
+            cluster_hist_vis_fn(np.asarray(list(counts.values())),
+                                papervis_dir / "cluster_hist_vis.png")
+
+    if vis.get("chainvis") or vis.get("stego_chainvis") or vis.get("lost_chainvis"):
+        # progressive-denoising chains from one dedicated batch
+        # (eval_fid.py:323-357 + draw_grid_chainvis :292-302)
+        from .papervis import (
+            draw_chain_grid,
+            draw_grid_lost_chainvis,
+            draw_grid_stego_chainvis,
+        )
+
+        n = int((vis.get("chainvis_c") or {}).get("samples", 7))
+        raw = {k: np.asarray(v)[:n] for k, v in dict(first_raw).items()}
+        chain_fn = _make_batch_sample_fn(
+            trainer, float(trainer.cond_scale or 0), sampling_method,
+            num_steps, want_chain=True,
+        )
+        _, chain = chain_fn(raw, 0)
+        if vis.get("chainvis"):
+            draw_chain_grid(chain, papervis_dir / "chainvis.png")
+        if vis.get("stego_chainvis") and raw.get("stegomask") is not None:
+            draw_grid_stego_chainvis(chain, raw["stegomask"], raw["image"],
+                                     papervis_dir / "stego_chainvis.png")
+        if vis.get("lost_chainvis") and raw.get("lostbboxmask") is not None:
+            draw_grid_lost_chainvis(chain, raw["lostbboxmask"], raw["image"],
+                                    papervis_dir / "lost_chainvis.png")
+
     if vis.get("condscale"):
         from .papervis import condscale_sweep_images, draw_grid
 
@@ -277,7 +540,7 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
                 sampling_method=sampling_method, num_steps=num_steps,
             )
             draw_grid(imgs, papervis_dir / "condscale_sweep.png", ncol=5)
-    if vis.get("knn"):
+    if vis.get("knn") or vis.get("knn_vis"):
         from .knn_eval import get_knn_eval_dict
 
         sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"
@@ -285,7 +548,7 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
             results.update(get_knn_eval_dict(
                 sample_dir, gt_dir, papervis_dir=papervis_dir
             ))
-    if vis.get("tsne"):
+    if vis.get("tsne") or vis.get("tsne_vis"):
         from .tsne import kluster_tsne_vis
 
         sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"

@@ -22,6 +22,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from flax import linen as nn
 
 __all__ = ["AttentionLR", "CrossAttentionLR", "GammaLayerNorm"]
@@ -61,8 +62,8 @@ class AttentionLR(nn.Module):
         x_seq = x.reshape(b, n, c)
         x_normed = GammaLayerNorm(name="norm")(x_seq)
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_normed)
-        kv = nn.Dense(2 * self.dim_head, use_bias=False, dtype=self.dtype, name="to_kv")(x_normed)
+        q = checkpoint_name(nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_normed), "rb_conv")
+        kv = checkpoint_name(nn.Dense(2 * self.dim_head, use_bias=False, dtype=self.dtype, name="to_kv")(x_normed), "rb_conv")
         k, v = jnp.split(kv, 2, axis=-1)  # [b, n, d] single-head
 
         q = q.reshape(b, n, self.heads, self.dim_head)
@@ -99,7 +100,7 @@ class AttentionLR(nn.Module):
             attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(x.dtype)
             out = jnp.einsum("bhnj,bjd->bnhd", attn, v).reshape(b, n, inner)
 
-        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        out = checkpoint_name(nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out), "rb_conv")
         out = GammaLayerNorm(name="out_norm")(out)
         return (x_seq + out).reshape(b, hh, ww, c)
 
@@ -123,8 +124,8 @@ class CrossAttentionLR(nn.Module):
         if self.norm_context:
             context = GammaLayerNorm(name="context_norm")(context)
 
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_normed)
-        kv = nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(context)
+        q = checkpoint_name(nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x_normed), "rb_conv")
+        kv = checkpoint_name(nn.Dense(2 * inner, use_bias=False, dtype=self.dtype, name="to_kv")(context), "rb_conv")
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads_split(t):
@@ -147,6 +148,6 @@ class CrossAttentionLR(nn.Module):
         out = jnp.einsum("bhnj,bhjd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
 
-        out = nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out)
+        out = checkpoint_name(nn.Dense(c, use_bias=False, dtype=self.dtype, name="to_out")(out), "rb_conv")
         out = GammaLayerNorm(name="out_norm")(out)
         return (x_seq + out).reshape(b, hh, ww, c)

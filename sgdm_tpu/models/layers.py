@@ -21,6 +21,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 __all__ = [
     "timestep_embedding",
@@ -186,7 +187,10 @@ class ResBlock(nn.Module):
         elif self.down:
             h = Downsample(use_conv=False, dtype=self.dtype)(h)
             x = Downsample(use_conv=False, dtype=self.dtype)(x)
-        h = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h)
+        h = checkpoint_name(
+            nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(h),
+            "rb_conv",
+        )
 
         emb_out = nn.Dense(
             2 * c_out if self.use_scale_shift_norm else c_out,
@@ -207,17 +211,27 @@ class ResBlock(nn.Module):
                 h, silu=True
             )
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Conv(
-            c_out, (3, 3), padding=1, dtype=self.dtype,
-            kernel_init=zeros_init, name="out_conv",
-        )(h)
+        h = checkpoint_name(
+            nn.Conv(
+                c_out, (3, 3), padding=1, dtype=self.dtype,
+                kernel_init=zeros_init, name="out_conv",
+            )(h),
+            "rb_conv",
+        )
 
         if c_out == c_in:
             skip = x
         elif self.use_conv_skip:
-            skip = nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype, name="skip_conv")(x)
+            skip = checkpoint_name(
+                nn.Conv(c_out, (3, 3), padding=1, dtype=self.dtype,
+                        name="skip_conv")(x),
+                "rb_conv",
+            )
         else:
-            skip = nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip_proj")(x)
+            skip = checkpoint_name(
+                nn.Conv(c_out, (1, 1), dtype=self.dtype, name="skip_proj")(x),
+                "rb_conv",
+            )
         return skip + h
 
 
@@ -246,7 +260,12 @@ class SelfAttentionBlock(nn.Module):
         d = c // heads
 
         h = GroupNorm32(name="norm")(x).reshape(b, hh * ww, c)
-        qkv = nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(h)
+        # 'rb_conv' tag: under the selective-remat policy (unet._conv_remat)
+        # the qkv/proj matmul outputs are saved so attention projections
+        # never re-execute in the backward (softmax recomputes from qkv)
+        qkv = checkpoint_name(
+            nn.DenseGeneral(3 * c, dtype=self.dtype, name="qkv")(h), "rb_conv"
+        )
         q, k, v = jnp.split(qkv.reshape(b, hh * ww, 3, heads, d), 3, axis=2)
         q = q.squeeze(2)  # [b, n, heads, d]
         k = k.squeeze(2)
@@ -269,7 +288,10 @@ class SelfAttentionBlock(nn.Module):
                 logits.astype(jnp.float32), axis=-1
             ).astype(x.dtype)
             out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, hh * ww, c)
-        out = nn.DenseGeneral(
-            c, dtype=self.dtype, kernel_init=zeros_init, name="proj_out"
-        )(out)
+        out = checkpoint_name(
+            nn.DenseGeneral(
+                c, dtype=self.dtype, kernel_init=zeros_init, name="proj_out"
+            )(out),
+            "rb_conv",
+        )
         return x + out.reshape(b, hh, ww, c)

@@ -46,6 +46,27 @@ from .layers import (
 __all__ = ["UNetBackbone", "UNetModel", "UNetCAModel"]
 
 
+def _conv_remat(use_checkpoint):
+    """Backbone constructor for the selective-remat mode.
+
+    `use_checkpoint == "conv"`: the WHOLE backbone is rematerialized with a
+    policy that saves only the 'rb_conv'-tagged MXU outputs (every conv in
+    layers.ResBlock + the attention qkv/proj projections).  The backward
+    pass then recomputes just the cheap memory-bound chains — GroupNorm,
+    FiLM, SiLU, dropout masks, skip concats — while convolutions and
+    attention matmuls never re-execute.  On the IN64 flagship (bs=256,
+    16 GB HBM) this keeps the step inside HBM; without it XLA host-offloads
+    the optimizer update and streams f32 state at PCIe speed.
+    """
+    if use_checkpoint == "conv":
+        return nn.remat(
+            UNetBackbone,
+            static_argnums=(4,),  # (self, x, emb, context, train)
+            policy=jax.checkpoint_policies.save_only_these_names("rb_conv"),
+        )
+    return UNetBackbone
+
+
 def _mask_cond(cond: jax.Array, mask: jax.Array) -> jax.Array:
     """Replace dropped samples' condition with the (zero) null embedding."""
     shape = (-1,) + (1,) * (cond.ndim - 1)
@@ -72,7 +93,7 @@ class UNetBackbone(nn.Module):
     conv_resample: bool = True
     use_ca_block: bool = False
     context_dim: int | None = None
-    use_checkpoint: bool = False
+    use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -101,11 +122,16 @@ class UNetBackbone(nn.Module):
         context: jax.Array | None = None,
         train: bool = False,
     ) -> jax.Array:
-        Res = (
-            nn.remat(ResBlock, static_argnums=(3,))
-            if self.use_checkpoint
-            else ResBlock
-        )
+        # use_checkpoint: False = no remat; "conv" = selective remat (the
+        # models wrap the WHOLE backbone in nn.remat with a policy that
+        # saves only the tagged MXU outputs — see _conv_remat below — so
+        # this trunk builds plain blocks); True = full per-ResBlock remat
+        # (recomputes convs too — maximum memory savings, for very large
+        # batches).
+        if self.use_checkpoint is True:
+            Res = nn.remat(ResBlock, static_argnums=(3,))
+        else:
+            Res = ResBlock
         mc = self.model_channels
         common = dict(
             dropout=self.dropout,
@@ -201,7 +227,7 @@ class UNetModel(nn.Module):
     cond_dim: int = 0
     condition_method: str | None = None
     lookup_table_size: int = 0  # cluster_lookup: learned per-image table
-    use_checkpoint: bool = False
+    use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -246,7 +272,7 @@ class UNetModel(nn.Module):
             c = nn.Dense(2 * mc, dtype=self.dtype, name="mlp_cond_2")(nn.silu(c))
             emb = jnp.concatenate([emb, c], axis=-1)
 
-        return UNetBackbone(
+        return _conv_remat(self.use_checkpoint)(
             model_channels=mc,
             out_channels=self.out_channels,
             num_res_blocks=self.num_res_blocks,
@@ -258,7 +284,7 @@ class UNetModel(nn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             resblock_updown=self.resblock_updown,
             use_ca_block=False,
-            use_checkpoint=self.use_checkpoint,
+            use_checkpoint=False if self.use_checkpoint == "conv" else self.use_checkpoint,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="backbone",
@@ -292,7 +318,7 @@ class UNetCAModel(nn.Module):
     num_cond_tokens: int = 8
     use_cls_token_as_pooled: bool = True
     condition_method: str | None = None
-    use_checkpoint: bool = False
+    use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool = False
     dtype: Any = jnp.float32
 
@@ -368,7 +394,7 @@ class UNetCAModel(nn.Module):
 
         context = nn.LayerNorm(dtype=jnp.float32, name="norm_cond")(context)
 
-        return UNetBackbone(
+        return _conv_remat(self.use_checkpoint)(
             model_channels=mc,
             out_channels=self.out_channels,
             num_res_blocks=self.num_res_blocks,
@@ -381,7 +407,7 @@ class UNetCAModel(nn.Module):
             resblock_updown=self.resblock_updown,
             use_ca_block=True,
             context_dim=self.context_dim,
-            use_checkpoint=self.use_checkpoint,
+            use_checkpoint=False if self.use_checkpoint == "conv" else self.use_checkpoint,
             use_pallas=self.use_pallas,
             dtype=self.dtype,
             name="backbone",

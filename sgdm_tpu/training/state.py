@@ -29,10 +29,11 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..diffusion import GaussianDiffusion, make_guided_denoiser
+from ..diffusion.guidance import guided_score
 from ..models.ema import ema_update
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
-           "make_eval_step", "make_sample_fn"]
+           "make_eval_step", "make_sample_fn", "make_scoremix_sample_fn"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -291,4 +292,55 @@ def make_sample_fn(
     # cond/layout batch-sharded (parallel.mesh.shard_batch) and XLA runs the
     # sampler data-parallel — per-rank sample dirs become per-shard outputs.
     del mesh
+    return jax.jit(sample, static_argnames=("batch_size", "image_size", "channels"))
+
+
+def make_scoremix_sample_fn(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    sampling_method: str = "ddim",
+    num_steps: int = 50,
+    cond_scale: float = 2.0,
+    scale_type: str = "imagen",
+    clip_denoised: bool = True,
+    dtp: float = 1.0,
+    return_uint8: bool = True,
+) -> Callable:
+    """Score-mixing sampler: eps = (1-w)·eps_guided(c_a) + w·eps_guided(c_b).
+
+    The reference's `exp.scoremix` test mode (run_exp.py:132-134 announces
+    it; the sampler path `ddim_plms_sampler.py:218-245` raises
+    NotImplementedError — this is a working implementation of that design:
+    score-level interpolation between two conditions).
+
+    The mixing weight ``w`` is PER-SAMPLE ([B], traced), so one jitted call
+    covers a whole interpolation sweep: row i mixes cond_a[i] → cond_b[i]
+    at weight w[i].  ``x_T`` supports the reference's `same_noise=true`
+    (every row of a pair shares the initial noise).
+    """
+
+    def sample(params, rng, batch_size, image_size, channels,
+               cond_a, cond_b, w, layout_a=None, layout_b=None, x_T=None):
+        apply_fn = _apply_denoiser(model, params, train=False)
+        guided = make_guided_denoiser(apply_fn, scale_type=scale_type)
+
+        def denoise(x, t):
+            kw_a = {"cond": cond_a}
+            kw_b = {"cond": cond_b}
+            if layout_a is not None:
+                kw_a["layout"] = layout_a
+                kw_b["layout"] = layout_b
+            eps_a = guided(x, t, cond_scale=cond_scale, **kw_a)
+            eps_b = guided(x, t, cond_scale=cond_scale, **kw_b)
+            # reuse guided_score's per-sample broadcast: (1-w)·a + w·b
+            return guided_score(z=eps_a, zc=eps_b, w=w, scale_type="imagen")
+
+        shape = (batch_size, image_size, image_size, channels)
+        return diffusion.sample(
+            sampling_method, denoise, rng, shape,
+            num_steps=num_steps, clip_denoised=clip_denoised, dtp=dtp,
+            x_T=x_T, return_uint8=return_uint8,
+        )
+
     return jax.jit(sample, static_argnames=("batch_size", "image_size", "channels"))

@@ -379,7 +379,7 @@ class SelfGuidedDiffusionTrainer:
             run(f"sample_scale{s}", s, c_n, l_n, log_chain=bool(vis_cfg.get("chainvis")))
 
         if self.condition_method and cond is not None:
-            if vis_cfg.get("samecond", True):
+            if vis_cfg.get("samecondition", vis_cfg.get("samecond", True)):
                 same = batch_to_samecondition({"c": np.asarray(cond[:n])}, 4)["c"]
                 same_l = (
                     batch_to_samecondition({"l": np.asarray(layout[:n])}, 4)["l"]

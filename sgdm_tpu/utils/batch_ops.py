@@ -25,6 +25,7 @@ __all__ = [
     "slerp_batch",
     "batch_to_same_firstimage",
     "batch_to_samecondition",
+    "batch_to_samecondition_v2",
     "batch_interp_condition",
 ]
 
@@ -70,6 +71,24 @@ def batch_to_samecondition(
         idx = np.arange(len(v)) // samecondition_num
         idx = np.clip(idx, 0, len(v) - 1)
         out[k] = v[idx].copy()
+    return out
+
+
+def batch_to_samecondition_v2(
+    batch: Mapping[str, np.ndarray], different_key: str,
+    samecondition_num: int = 7,
+) -> dict:
+    """Like batch_to_samecondition, but ``different_key`` keeps its original
+    rows — e.g. same cluster / different LOST box.  Parity: util.py:122-136
+    (drives the same_cluster_diff_lost / diff_cluster_same_lost /
+    same_stego_diff_cluster / diff_z_same_stego figure modes)."""
+    out = {}
+    for k, v in batch.items():
+        if k == different_key:
+            out[k] = np.asarray(v).copy()
+        else:
+            idx = np.clip(np.arange(len(v)) // samecondition_num, 0, len(v) - 1)
+            out[k] = np.asarray(v)[idx].copy()
     return out
 
 

@@ -219,3 +219,41 @@ class TestEMA:
             shadow = shadow - (1 - d) * (shadow - np.array([p]))
             ema_j = ema_update(ema_j, {"w": jnp.array([p])}, jnp.array(n), 0.9999)
         np.testing.assert_allclose(np.asarray(ema_j["w"]), shadow, rtol=1e-6)
+
+
+class TestRematPolicies:
+    """use_checkpoint ∈ {False, True, 'conv'} must be numerically identical
+    (the 'conv' policy saves conv outputs — layers.py 'rb_conv' tags — and
+    recomputes only the cheap GN/FiLM/SiLU chains in the backward)."""
+
+    def _loss_and_grad(self, use_checkpoint):
+        import jax
+
+        model = UNetModel(
+            model_channels=16, out_channels=3, num_res_blocks=1,
+            channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+            cond_dim=6, resblock_updown=True,
+            use_checkpoint=use_checkpoint,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        t = jnp.array([3, 7])
+        cond = jax.random.normal(jax.random.PRNGKey(1), (2, 6))
+        params = model.init(jax.random.PRNGKey(2), x, t, cond=cond)["params"]
+
+        def loss(p):
+            out = model.apply({"params": p}, x, t, cond=cond)
+            return (out ** 2).mean()
+
+        l, g = jax.value_and_grad(loss)(params)
+        return float(l), g
+
+    def test_conv_policy_matches_no_remat(self):
+        import jax
+
+        l0, g0 = self._loss_and_grad(False)
+        for ck in ("conv", True):
+            l1, g1 = self._loss_and_grad(ck)
+            assert l0 == pytest.approx(l1, rel=1e-6)
+            for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
