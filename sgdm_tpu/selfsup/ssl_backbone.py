@@ -34,6 +34,7 @@ _CKPT_NAMES = {
     "dino_vitb16": "dino_vitbase16_pretrain.pth",
     "dino_vitb8": "dino_vitbase8_pretrain.pth",
     "simclr_rn50": "simclr_imagenet.ckpt",
+    "rn50": "resnet50-0676ba61.pth",  # torchvision IMAGENET1K_V1
 }
 
 
@@ -164,6 +165,10 @@ def get_ssl_backbone(
         # the pl_bolts SimCLR ResNet-50 encoder — the KNN-eval embedder
         # (self_sl/simclr_related.py:26-44)
         "simclr_rn50": ResNet50,
+        # supervised ImageNet ResNet-50 (reference zoo 'rn50' via torch.hub,
+        # self_sl/ssl_backbone.py:118-127) — torchvision state dicts load
+        # through the same mapper (identical layer naming)
+        "rn50": ResNet50,
     }
     if name not in builders:
         raise ValueError(f"unknown ssl backbone {name}; have {list(builders)}")
@@ -171,7 +176,7 @@ def get_ssl_backbone(
     path = _find_ckpt(name, ckpt_path)
     if path:
         logger.info(f"loading {name} weights from {path}")
-        params = (load_simclr_torch_weights(path) if name == "simclr_rn50"
+        params = (load_simclr_torch_weights(path) if name in ("simclr_rn50", "rn50")
                   else load_dino_torch_weights(path))
     else:
         logger.warning(
