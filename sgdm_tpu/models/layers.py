@@ -278,6 +278,30 @@ class SelfAttentionBlock(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
             ).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
+        elif _pallas_ok(True) and hh * ww >= 128 and d % 64 == 0:
+            # training path: jax's TPU flash attention (Pallas fwd AND bwd
+            # kernels — the [B,H,N,N] float32 logits never touch HBM, unlike
+            # the XLA einsum+softmax lowering).  1/sqrt(sqrt(d)) on both q
+            # and k == sm_scale 1/sqrt(d) exactly.
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            n = hh * ww
+            bs = BlockSizes(
+                block_q=min(512, n), block_k_major=min(512, n),
+                block_k=min(512, n), block_b=1,
+                block_q_major_dkv=min(512, n), block_k_major_dkv=min(512, n),
+                block_k_dkv=min(512, n), block_q_dkv=min(512, n),
+                block_k_major_dq=min(512, n), block_k_dq=min(512, n),
+                block_q_dq=min(512, n),
+            )
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                sm_scale=1.0 / math.sqrt(d), block_sizes=bs,
+            ).transpose(0, 2, 1, 3).reshape(b, n, c)
         else:
             scale = 1.0 / math.sqrt(math.sqrt(d))
             logits = jnp.einsum(

@@ -70,6 +70,22 @@ def create_train_state(
     )
 
 
+def _rbg_dropout_key(key: jax.Array) -> jax.Array:
+    """Derive an 'rbg' PRNG key from a threefry key for dropout masks.
+
+    Threefry mask generation is pure VPU arithmetic (~3.6 ms per
+    [256,64,64,128] mask on v5e — measured, BASELINE.md); the rbg impl
+    generates bits with the TPU's hardware RNG instead, while key
+    split/fold_in still runs threefry on the (tiny) key data.  Dropout
+    needs no counter-based reproducibility across impls — only run-to-run
+    determinism, which this keeps (the rbg key is a pure function of the
+    step's threefry key)."""
+    if jnp.issubdtype(key.dtype, jnp.unsignedinteger):  # raw uint32[2] key
+        key = jax.random.wrap_key_data(key)
+    data = jax.random.key_data(key)  # uint32[2]
+    return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
+
+
 def _apply_denoiser(model, params, dropout_rng=None, train=False):
     def apply_fn(x, t, cond_drop_mask=None, **cond_kwargs):
         rngs = {"dropout": dropout_rng} if dropout_rng is not None else None
@@ -91,6 +107,7 @@ def make_train_step(
     ema_decay: float = 0.9999,
     use_ema: bool = True,
     accumulate_grad_batches: int = 1,
+    fast_dropout_rng: bool = True,
     mesh: Mesh | None = None,
 ) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
     """Build the fused train step.  ``batch`` must contain 'image' (NHWC,
@@ -122,6 +139,8 @@ def make_train_step(
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         loss_rng, dropout_rng = jax.random.split(rng)
+        if fast_dropout_rng:
+            dropout_rng = _rbg_dropout_key(dropout_rng)
 
         if accumulate_grad_batches <= 1:
             (loss, aux), grads = _loss_and_grads(
