@@ -34,7 +34,8 @@ BASELINE_SAMPLES_PER_SEC = 250.0  # estimated A100 torch baseline (see above)
 
 
 def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
-          use_pallas: bool = True, use_checkpoint: bool = False):
+          use_pallas: bool = True, use_checkpoint: bool = False,
+          compiler_options: dict | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -58,16 +59,19 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
         "cond": jnp.zeros((batch_size, cond_dim)),
     }
     state = create_train_state(model, tx, rng, batch, {"cond": batch["cond"]})
-    step = make_train_step(model, diffusion, tx, cond_drop_prob=0.1)
+    step = make_train_step(model, diffusion, tx, cond_drop_prob=0.1,
+                           compiler_options=compiler_options)
     return model, diffusion, state, step, batch
 
 
 def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
-                iters=20, warmup=3, use_pallas=True, use_checkpoint=False):
+                iters=20, warmup=3, use_pallas=True, use_checkpoint=False,
+                compiler_options=None):
     import jax
 
     model, diffusion, state, step, batch = build(
-        batch_size, image_size, cond_dim, channels, use_pallas, use_checkpoint
+        batch_size, image_size, cond_dim, channels, use_pallas, use_checkpoint,
+        compiler_options=compiler_options,
     )
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
@@ -121,6 +125,11 @@ def main() -> None:
                    help="use Pallas kernels in the TRAIN step too (measured "
                         "slower: custom-VJP blocks backward fusion)")
     p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--xla-opt", action="append", default=[],
+                   metavar="KEY=VAL",
+                   help="extra XLA compiler option(s) shipped with the "
+                        "program (reaches the remote axon compiler, unlike "
+                        "XLA_FLAGS)")
     p.add_argument("--remat", choices=["none", "conv", "full"], default=None,
                    help="activation checkpointing: 'conv' saves conv outputs "
                         "and recomputes the cheap GN/SiLU chains (keeps the "
@@ -136,10 +145,14 @@ def main() -> None:
     # training default = XLA path (fastest measured); sampling auto-enables
     # the Pallas kernels inside make_sample_fn
     kw["use_pallas"] = bool(args.pallas)
-    # default: selective conv-saving remat (fastest measured — avoids the
-    # 16 GB HBM overflow that host-offloads the optimizer update)
-    remat = args.remat if args.remat is not None else "conv"
+    # default: no remat — fastest measured (BASELINE.md round-2: every remat
+    # variant is ≤ baseline at bs=256; XLA schedules near the HBM cap either
+    # way, and 'S(1)' buffers are VMEM prefetch, not host offload).  'conv'
+    # remains available for large-batch headroom.
+    remat = args.remat if args.remat is not None else "none"
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
+    if args.xla_opt:
+        kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
 
     sps, loss = bench_train(**kw)
     result = {

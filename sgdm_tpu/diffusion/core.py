@@ -105,6 +105,12 @@ class GaussianDiffusion:
         ``denoise_fn(x, t) -> eps`` must already have conditioning + guidance
         baked in (build it with `guidance.make_guided_denoiser` + partials).
         """
+        from ..utils.fast_rng import fast_rng_key
+
+        # hardware-RNG key: the scan-based samplers split a key EVERY step
+        # (×250 for a DDIM-250 run), and threefry splits lower to rolled
+        # scalar while-loops on TPU (~ms each) — see utils.fast_rng
+        rng = fast_rng_key(rng)
         common = dict(log_num_per_prog=log_num_per_prog, x_T=x_T)
         if sampling_method == "native":
             img, inter = ancestral_sample(

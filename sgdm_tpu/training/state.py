@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..diffusion import GaussianDiffusion, make_guided_denoiser
 from ..diffusion.guidance import guided_score
 from ..models.ema import ema_update
+from ..utils.fast_rng import fast_rng_key
 
 __all__ = ["TrainState", "create_train_state", "make_train_step",
            "make_eval_step", "make_sample_fn", "make_scoremix_sample_fn"]
@@ -70,20 +71,6 @@ def create_train_state(
     )
 
 
-def _rbg_dropout_key(key: jax.Array) -> jax.Array:
-    """Derive an 'rbg' PRNG key from a threefry key for dropout masks.
-
-    Threefry mask generation is pure VPU arithmetic (~3.6 ms per
-    [256,64,64,128] mask on v5e — measured, BASELINE.md); the rbg impl
-    generates bits with the TPU's hardware RNG instead, while key
-    split/fold_in still runs threefry on the (tiny) key data.  Dropout
-    needs no counter-based reproducibility across impls — only run-to-run
-    determinism, which this keeps (the rbg key is a pure function of the
-    step's threefry key)."""
-    if jnp.issubdtype(key.dtype, jnp.unsignedinteger):  # raw uint32[2] key
-        key = jax.random.wrap_key_data(key)
-    data = jax.random.key_data(key)  # uint32[2]
-    return jax.random.wrap_key_data(jnp.tile(data, 2), impl="rbg")
 
 
 def _apply_denoiser(model, params, dropout_rng=None, train=False):
@@ -108,6 +95,7 @@ def make_train_step(
     use_ema: bool = True,
     accumulate_grad_batches: int = 1,
     fast_dropout_rng: bool = True,
+    compiler_options: Mapping[str, str] | None = None,
     mesh: Mesh | None = None,
 ) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
     """Build the fused train step.  ``batch`` must contain 'image' (NHWC,
@@ -137,10 +125,12 @@ def make_train_step(
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     def train_step(state: TrainState, batch, rng):
+        if fast_dropout_rng:
+            # convert BEFORE any fold/split so every in-step key op runs on
+            # the hardware RNG (no rolled threefry scalar loops)
+            rng = fast_rng_key(rng)
         rng = jax.random.fold_in(rng, state.step)
         loss_rng, dropout_rng = jax.random.split(rng)
-        if fast_dropout_rng:
-            dropout_rng = _rbg_dropout_key(dropout_rng)
 
         if accumulate_grad_batches <= 1:
             (loss, aux), grads = _loss_and_grads(
@@ -205,8 +195,10 @@ def make_train_step(
         }
         return new_state, metrics
 
+    copts = dict(compiler_options) if compiler_options else None
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=(0,))
+        return jax.jit(train_step, donate_argnums=(0,),
+                       compiler_options=copts)
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
@@ -215,6 +207,7 @@ def make_train_step(
         donate_argnums=(0,),
         in_shardings=(repl, data, repl),
         out_shardings=(repl, repl),
+        compiler_options=copts,
     )
 
 
