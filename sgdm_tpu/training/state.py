@@ -195,7 +195,8 @@ def make_train_step(
         }
         return new_state, metrics
 
-    copts = dict(compiler_options) if compiler_options else None
+    copts = ({k: str(v) for k, v in compiler_options.items()}
+             if compiler_options else None)
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,),
                        compiler_options=copts)
