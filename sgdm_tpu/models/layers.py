@@ -131,7 +131,13 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # 2x nearest as broadcast+reshape: jax.image.resize(nearest) lowers
+        # to pad(-inf)+maximum chains on TPU (measured ~16 ms/step on the
+        # IN64 flagship, BASELINE.md round 2); this is a pure layout op
+        # whose backward is a cheap 2x2 reduce
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, h * 2, w * 2, c)
         if self.use_conv:
             x = nn.Conv(self.out_channels or c, (3, 3), padding=1, dtype=self.dtype)(x)
         return x
