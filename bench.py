@@ -141,7 +141,10 @@ def main() -> None:
         kw = dict(batch_size=args.batch_size or 8, image_size=16, cond_dim=10,
                   channels=32, iters=4, warmup=1)
     else:
-        kw = dict(batch_size=args.batch_size or 256)
+        # bs=192 measured fastest per-chip (454 samples/s vs 392 at bs=256):
+        # below the HBM-pressure point where XLA starts internally
+        # rematerializing fusions (BASELINE.md round 2 sweep)
+        kw = dict(batch_size=args.batch_size or 192)
     # training default = XLA path (fastest measured); sampling auto-enables
     # the Pallas kernels inside make_sample_fn
     kw["use_pallas"] = bool(args.pallas)
@@ -153,6 +156,12 @@ def main() -> None:
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
     if args.xla_opt:
         kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
+    else:
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # measured-best scoped-VMEM split (+1.7%, BASELINE.md round 2)
+            kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
 
     sps, loss = bench_train(**kw)
     result = {

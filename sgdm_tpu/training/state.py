@@ -20,6 +20,7 @@ torch's global RNG, SURVEY.md §7 hard-part 3).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Mapping
 
 import jax
@@ -58,7 +59,10 @@ def create_train_state(
     }
     x = jnp.asarray(example_batch["image"])
     t = jnp.zeros((x.shape[0],), dtype=jnp.int32)
-    variables = model.init(rng, x, t, **cond_kwargs)
+    # jit the init: flax init is otherwise eager — hundreds of tiny
+    # dispatches (each a round trip on a remote-TPU setup) instead of ONE
+    # compiled program
+    variables = jax.jit(partial(model.init, **cond_kwargs))(rng, x, t)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), dtype=jnp.int32),
