@@ -160,8 +160,8 @@ def main() -> None:
         import jax
 
         if jax.default_backend() == "tpu":
-            # measured-best scoped-VMEM split (+1.7%, BASELINE.md round 2)
-            kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+            # measured-best scoped-VMEM split (BASELINE.md round-2 sweep)
+            kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
 
     sps, loss = bench_train(**kw)
     result = {

@@ -190,10 +190,10 @@ class SelfGuidedDiffusionTrainer:
         pl_trainer = (to_container(self.hparams.get("pl") or {}).get("trainer") or {})
         # per-program XLA options (pl.trainer.xla_options: {flag: value});
         # defaults to the measured-best scoped-VMEM split on TPU
-        # (BASELINE.md round 2: +1.7% train throughput)
+        # (BASELINE.md round-2 sweep)
         xla_options = pl_trainer.get("xla_options")
         if xla_options is None and jax.default_backend() == "tpu":
-            xla_options = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+            xla_options = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
         self._train_step = self._train_step or make_train_step(
             self.model, self.diffusion, self.tx,
             cond_drop_prob=self.cond_drop_prob if self.condition_method else 0.0,
