@@ -115,6 +115,29 @@ def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
     return steps_per_sec, imgs_per_sec
 
 
+def bench_feat(batch_size=64, image_size=64, reps=3, name="dino_vitb16"):
+    """SSL feature extraction imgs/sec (BASELINE.json target metric):
+    uint8 batch → resize 224 + imagenet-norm → ViT CLS features."""
+    import time
+
+    import numpy as np
+
+    from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
+
+    bk = get_ssl_backbone(name)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (batch_size, image_size, image_size, 3), dtype=np.uint8)
+    feats = bk.batch_encode_feat(bk.transform_batch(imgs))  # warm/compile
+    t0 = time.perf_counter()
+    for i in range(reps):
+        # vary the batch so a caching transport cannot reuse the execution
+        feats = bk.batch_encode_feat(bk.transform_batch(
+            np.roll(imgs, i + 1, axis=0)))
+    assert feats.shape == (batch_size, bk.feat_dim)
+    dt = time.perf_counter() - t0
+    return batch_size * reps / dt
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
@@ -159,7 +182,11 @@ def main() -> None:
     else:
         import jax
 
-        if jax.default_backend() == "tpu":
+        dd = jax.config.jax_default_device
+        on_tpu = jax.default_backend() == "tpu" and (
+            dd is None or getattr(dd, "platform", "tpu") == "tpu"
+        )
+        if on_tpu:
             # measured-best scoped-VMEM split (BASELINE.md round-2 sweep)
             kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
 
@@ -182,6 +209,14 @@ def main() -> None:
             "unit": "steps/sec",
             "vs_baseline": None,
             "ddim_imgs_per_sec": round(imgs_ps, 2),
+        }), file=sys.stderr)
+        fkw = dict(batch_size=8, reps=1) if args.quick else {}
+        feat_ps = bench_feat(**fkw)
+        print(json.dumps({
+            "metric": "feat_extract_imgs_per_sec",
+            "value": round(feat_ps, 2),
+            "unit": "imgs/sec",
+            "vs_baseline": None,
         }), file=sys.stderr)
 
 

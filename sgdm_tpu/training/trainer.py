@@ -192,7 +192,14 @@ class SelfGuidedDiffusionTrainer:
         # defaults to the measured-best scoped-VMEM split on TPU
         # (BASELINE.md round-2 sweep)
         xla_options = pl_trainer.get("xla_options")
-        if xla_options is None and jax.default_backend() == "tpu":
+        if self.mesh is not None:
+            on_tpu = self.mesh.devices.ravel()[0].platform == "tpu"
+        else:
+            dd = jax.config.jax_default_device
+            on_tpu = jax.default_backend() == "tpu" and (
+                dd is None or getattr(dd, "platform", "tpu") == "tpu"
+            )
+        if xla_options is None and on_tpu:
             xla_options = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
         self._train_step = self._train_step or make_train_step(
             self.model, self.diffusion, self.tx,
