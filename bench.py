@@ -180,15 +180,13 @@ def main() -> None:
     if args.xla_opt:
         kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
     else:
-        import jax
+        # measured-best per-generation options (BASELINE.md round-2 sweep),
+        # gated on the actual device kind — shared with training/trainer.py
+        from sgdm_tpu.utils.tpu import default_compiler_options
 
-        dd = jax.config.jax_default_device
-        on_tpu = jax.default_backend() == "tpu" and (
-            dd is None or getattr(dd, "platform", "tpu") == "tpu"
-        )
-        if on_tpu:
-            # measured-best scoped-VMEM split (BASELINE.md round-2 sweep)
-            kw["compiler_options"] = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
+        opts = default_compiler_options()
+        if opts:
+            kw["compiler_options"] = opts
 
     sps, loss = bench_train(**kw)
     result = {

@@ -18,17 +18,25 @@ __all__ = ["DataModuleFromConfig"]
 
 def _process_shard(batch_size: int) -> "slice | None":
     """On a multi-host run, this process's slice of every global batch
-    (per-rank DataLoader parity, SURVEY.md §5.8); None single-host."""
+    (per-rank DataLoader parity, SURVEY.md §5.8); None single-host.
+
+    A failure here on an actual multi-process run must be LOUD: silently
+    returning None would make every host load the full global batch —
+    exactly the duplication this exists to prevent (round-2 VERDICT #4).
+    """
+    import jax
+
     try:
-        import jax
+        multi = jax.process_count() > 1
+    except RuntimeError:
+        # backend not initialized yet (e.g. pure-host unit tests) — that is
+        # genuinely a single-process situation, not a sharding failure
+        return None
+    if not multi:
+        return None
+    from ..parallel.mesh import local_batch_slice
 
-        from ..parallel.mesh import local_batch_slice
-
-        if jax.process_count() > 1:
-            return local_batch_slice(batch_size)
-    except Exception:
-        pass
-    return None
+    return local_batch_slice(batch_size)  # raises on misconfiguration
 
 
 class DataModuleFromConfig:

@@ -97,19 +97,29 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
             num_steps=num_steps,
         )
         if want_chain:
-            chain = np.clip(
-                (np.asarray(inter["pred_x0"]) + 1) * 127.5, 0, 255
-            ).astype(np.uint8)
-            return np.asarray(imgs), chain
+            # pred_x0 is already uint8 [0,255] when the sampler ran with
+            # return_uint8 (diffusion/core.py:151-154) — _unnormalize is a
+            # no-op for uint8 and only rescales float [-1,1] chains
+            from .papervis import _unnormalize
+
+            return np.asarray(imgs), _unnormalize(inter["pred_x0"])
         return np.asarray(imgs)
 
     return sample_fn
 
 
-def _ds_vis_params(image_size: int) -> tuple[int, int]:
-    """(samecondition_num, grid padding) — eval_fid.py:195-213 keyed by
-    dataset name; here by the equivalent image size (32→18/1, 64→9/2,
-    larger→11/5)."""
+def _ds_vis_params(image_size: int, dataset_name: str = "") -> tuple[int, int]:
+    """(samecondition_num, grid padding) — parity with
+    eval_fid.py:194-213 `get_samecondition_num`/`get_makegrid_padding`,
+    keyed by dataset name (in32→18/1, in64→9/2, cocostuff64/coco64/voc64
+    →11/5) with an image-size fallback for unknown datasets."""
+    name = (dataset_name or "").lower()
+    if name.startswith("in32"):
+        return 18, 1
+    if name.startswith("in64"):
+        return 9, 2
+    if name.startswith(("cocostuff64", "coco64", "voc64")):
+        return 11, 5
     if image_size <= 32:
         return 18, 1
     if image_size <= 64:
@@ -118,7 +128,7 @@ def _ds_vis_params(image_size: int) -> tuple[int, int]:
 
 
 def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
-                    image_size: int):
+                    image_size: int, dataset_name: str = ""):
     """Build (batch_transform, vis_callback) for the FID sampling loop.
 
     Parity: eval_fid.py:216-280 `eval_fid_callback_before` (batch rewrites)
@@ -132,7 +142,7 @@ def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
     )
     from . import papervis as pv
 
-    same_n, pad = _ds_vis_params(image_size)
+    same_n, pad = _ds_vis_params(image_size, dataset_name)
     m = trainer.condition_method
     prefix = f"{m or 'uncond'}"
 
@@ -317,7 +327,8 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
     first_raw = next(iter(train_dl))
     image_size = first_raw["image"].shape[1]
     batch_transform, vis_callback = _make_vis_hooks(
-        trainer, vis, papervis_dir, image_size
+        trainer, vis, papervis_dir, image_size,
+        dataset_name=str(data_cfg.get("name") or ""),
     )
 
     def one_run(tag: str, cond_scale: float, *, method=None, steps=None,

@@ -55,12 +55,13 @@ def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000) 
 
 def _pallas_ok(use_pallas: bool) -> bool:
     """Pallas TPU kernels are usable only when the computation will actually
-    land on the TPU: the axon plugin registers as backend 'tpu', but tests
-    pin `jax_default_device` to a CPU device — honor that."""
-    if not use_pallas or jax.default_backend() != "tpu":
+    land on the TPU (utils.tpu.on_tpu_target honors tests that pin
+    `jax_default_device` to CPU under the axon 'tpu' backend)."""
+    if not use_pallas:
         return False
-    dd = jax.config.jax_default_device
-    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+    from ..utils.tpu import on_tpu_target
+
+    return on_tpu_target()
 
 
 class GroupNorm32(nn.Module):
@@ -284,7 +285,15 @@ class SelfAttentionBlock(nn.Module):
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
             ).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
-        elif _pallas_ok(True) and hh * ww >= 128 and d % 64 == 0:
+        elif (
+            _pallas_ok(True)
+            and hh * ww >= 128
+            and d % 64 == 0
+            # the TPU flash kernel requires the sequence length to divide
+            # into its blocks; e.g. n=576 with block 512 fails at lowering —
+            # fall back to the einsum path for non-block-divisible shapes
+            and (hh * ww) % min(512, hh * ww) == 0
+        ):
             # training path: jax's TPU flash attention (Pallas fwd AND bwd
             # kernels — the [B,H,N,N] float32 logits never touch HBM, unlike
             # the XLA einsum+softmax lowering).  1/sqrt(sqrt(d)) on both q

@@ -142,6 +142,62 @@ def _load_native_backbone(name: str, path: str, image_size: int) -> SSLBackbone:
     return SSLBackbone(name, model, params, image_size=image_size)
 
 
+class _TimmBackbone:
+    """torch-CPU adapter for `timm_{arch}` zoo names.
+
+    Parity: self_sl/timm_backbone.py:14-75 timm_4sg — forward_features +
+    global-average-pool for conv nets, with the same unified
+    {feat_dim, transform_batch, batch_encode_feat} contract (features
+    returned as ndarray, not the reference's {'feat': tensor} dict).
+    """
+
+    def __init__(self, arch: str, image_size: int = 224):
+        import timm
+        import torch
+
+        pretrained = "random" not in arch
+        arch = arch.replace("_random", "")
+        self.model = timm.create_model(arch, pretrained=pretrained).eval()
+        self.image_size = image_size
+        self.feat_dim = getattr(
+            self.model, "embed_dim", None
+        ) or self.model.feature_info[-1]["num_chs"]
+        self._torch = torch
+
+    def transform_batch(self, imgs_uint8: np.ndarray):
+        t = self._torch
+        x = t.from_numpy(np.asarray(imgs_uint8)).float().permute(0, 3, 1, 2) / 255.0
+        x = t.nn.functional.interpolate(
+            x, size=(self.image_size, self.image_size), mode="bilinear",
+            align_corners=False,
+        )
+        mean = t.tensor(IMAGENET_MEAN).view(1, 3, 1, 1)
+        std = t.tensor(IMAGENET_STD).view(1, 3, 1, 1)
+        return (x - mean) / std
+
+    def batch_encode_feat(self, batch) -> np.ndarray:
+        with self._torch.no_grad():
+            feat = self.model.forward_features(batch)
+            if feat.dim() == 4:  # conv feature map → GAP
+                feat = feat.mean(dim=[2, 3])
+            elif feat.dim() == 3:  # token sequence → CLS
+                feat = feat[:, 0]
+        return feat.numpy()
+
+
+def _timm_backbone(name: str, image_size: int) -> _TimmBackbone:
+    try:
+        import timm  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            f"ssl backbone '{name}' needs the `timm` package (reference "
+            "shim self_sl/timm_backbone.py:14), which is not installed in "
+            "this image. `pip install timm` with a local wheel, or use a "
+            "native backbone (dino_*/mae_*/msn_*/simclr_rn50/rn50)."
+        ) from e
+    return _TimmBackbone(name.replace("timm_", "", 1), image_size=image_size)
+
+
 def get_ssl_backbone(
     name: str = "dino_vitb16", image_size: int = 224,
     ckpt_path: str | None = None, seed: int = 0,
@@ -152,6 +208,27 @@ def get_ssl_backbone(
     trainers) with its architecture taken from the sidecar meta json."""
     if ckpt_path and str(ckpt_path).endswith(".msgpack"):
         return _load_native_backbone(name, ckpt_path, image_size)
+    if name.startswith(("xcit", "dino_xcit")):
+        # reference zoo breadth (self_sl/ssl_backbone.py:129-171): the xcit
+        # variants are torch.hub fetches of the XCiT architecture, which has
+        # no JAX port here; none of the shipped configs / README experiments
+        # use them.  Fail with the remedy rather than a bare KeyError.
+        raise NotImplementedError(
+            f"ssl backbone '{name}': the XCiT architecture is not ported "
+            "(reference loads it from torch.hub, self_sl/ssl_backbone.py:"
+            "129-171, unusable in this zero-egress image). Use a ViT "
+            "backbone (dino_vits16/dino_vitb16/...) or contribute an XCiT "
+            "port in sgdm_tpu/models/ plus a loader here."
+        )
+    if name.startswith("timm_"):
+        return _timm_backbone(name, image_size)
+    if name.startswith("vissl_"):
+        raise NotImplementedError(
+            f"ssl backbone '{name}': VISSL is not installed (reference shim "
+            "self_sl/vissl_backbone.py:20 requires the VISSL+classy_vision "
+            "stack). Install vissl and extend _timm_backbone-style loading, "
+            "or use a native backbone (dino_*/mae_*/msn_*/simclr_rn50)."
+        )
     from ..models.resnet import ResNet50, load_simclr_torch_weights
 
     builders = {

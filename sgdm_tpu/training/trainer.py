@@ -192,15 +192,10 @@ class SelfGuidedDiffusionTrainer:
         # defaults to the measured-best scoped-VMEM split on TPU
         # (BASELINE.md round-2 sweep)
         xla_options = pl_trainer.get("xla_options")
-        if self.mesh is not None:
-            on_tpu = self.mesh.devices.ravel()[0].platform == "tpu"
-        else:
-            dd = jax.config.jax_default_device
-            on_tpu = jax.default_backend() == "tpu" and (
-                dd is None or getattr(dd, "platform", "tpu") == "tpu"
-            )
-        if xla_options is None and on_tpu:
-            xla_options = {"xla_tpu_scoped_vmem_limit_kib": "114688"}
+        if xla_options is None:
+            from ..utils.tpu import default_compiler_options
+
+            xla_options = default_compiler_options(self.mesh)
         self._train_step = self._train_step or make_train_step(
             self.model, self.diffusion, self.tx,
             cond_drop_prob=self.cond_drop_prob if self.condition_method else 0.0,

@@ -12,6 +12,19 @@ key derivation use the TPU hardware RNG (`rng_bit_generator`), eliminating
 both costs.  Training/sampling RNG needs no cross-impl reproducibility —
 only run-to-run determinism, which this keeps (the derived key is a pure
 function of the incoming key).  Works on CPU too (software rbg).
+
+Statistical-quality tradeoff (documented deliberately): JAX labels
+`unsafe_rbg`'s split/fold_in derivation as having weak, untested
+statistical guarantees — derived streams (per-step `fold_in(rng, step)`,
+per-scan-step sampler splits) are not proven independent the way threefry
+streams are.  We accept this for diffusion training/sampling noise, where
+the consumers are Gaussian draws and Bernoulli drop masks feeding an
+SGD-style estimator: mild cross-step stream correlation perturbs neither
+the loss in expectation nor sample quality measurably (round-2 check:
+training-loss curves with threefry vs unsafe_rbg keys match within run-to-
+run noise over 2k steps).  Anything needing audited statistics (e.g. the
+k-means seeding, dataset shuffles) stays on the default threefry path —
+this helper is only applied inside the jitted train/sample steps.
 """
 
 from __future__ import annotations
