@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 import time
 
 # The axon TPU plugin compiles remotely (~100-200 s per program); the
@@ -142,11 +141,19 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true",
                    help="tiny shapes for CPU smoke-testing the bench itself")
-    p.add_argument("--all", action="store_true", help="also report DDIM throughput")
+    p.add_argument("--train-only", action="store_true",
+                   help="primary train metric only (skip DDIM/feat lines)")
+    p.add_argument("--all", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--pallas", action="store_true",
-                   help="use Pallas kernels in the TRAIN step too (measured "
-                        "slower: custom-VJP blocks backward fusion)")
+                   help="use the round-1 Pallas kernels in the TRAIN step "
+                        "(measured slower: recompute-VJP blocks backward "
+                        "fusion)")
+    p.add_argument("--fused", dest="fused", action="store_true", default=None,
+                   help="fused-ResBlock Pallas kernels (fwd + Pallas "
+                        "backward) in the train step [default on TPU]")
+    p.add_argument("--no-fused", dest="fused", action="store_false",
+                   help="disable the fused-ResBlock train path (pure XLA)")
     p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--xla-opt", action="append", default=[],
                    metavar="KEY=VAL",
@@ -168,9 +175,13 @@ def main() -> None:
         # below the HBM-pressure point where XLA starts internally
         # rematerializing fusions (BASELINE.md round 2 sweep)
         kw = dict(batch_size=args.batch_size or 192)
-    # training default = XLA path (fastest measured); sampling auto-enables
-    # the Pallas kernels inside make_sample_fn
-    kw["use_pallas"] = bool(args.pallas)
+    # training default = fused-ResBlock Pallas kernels (round-3: 1.5-2.2x
+    # per-block over XLA, fwd+bwd); --pallas selects the older fwd-only
+    # kernel set; sampling auto-enables its kernels inside make_sample_fn
+    if args.pallas:
+        kw["use_pallas"] = True
+    else:
+        kw["use_pallas"] = "fused" if args.fused is not False else False
     # default: no remat — fastest measured (BASELINE.md round-2: every remat
     # variant is ≤ baseline at bs=256; XLA schedules near the HBM cap either
     # way, and 'S(1)' buffers are VMEM prefetch, not host offload).  'conv'
@@ -195,27 +206,49 @@ def main() -> None:
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
     }
-    print(json.dumps(result))
 
-    if args.all:
-        skw = (dict(batch_size=8, image_size=16, cond_dim=10, channels=32,
-                    num_steps=10, reps=1) if args.quick else {})
-        steps_ps, imgs_ps = bench_ddim(**skw)
-        print(json.dumps({
-            "metric": "ddim_steps_per_sec",
-            "value": round(steps_ps, 2),
-            "unit": "steps/sec",
-            "vs_baseline": None,
-            "ddim_imgs_per_sec": round(imgs_ps, 2),
-        }), file=sys.stderr)
-        fkw = dict(batch_size=8, reps=1) if args.quick else {}
-        feat_ps = bench_feat(**fkw)
-        print(json.dumps({
-            "metric": "feat_extract_imgs_per_sec",
-            "value": round(feat_ps, 2),
-            "unit": "imgs/sec",
-            "vs_baseline": None,
-        }), file=sys.stderr)
+    # on-TPU: re-prove the flash-attention fwd+grad parity claim on every
+    # bench run (sub-second; round-2 VERDICT #6) — a kernel regression
+    # fails the bench instead of shipping silently
+    from sgdm_tpu.utils.tpu import on_tpu_target
+
+    if on_tpu_target():
+        from sgdm_tpu.ops.pallas.attention import flash_attention_parity_check
+
+        parity = flash_attention_parity_check()
+        result["flash_attention_parity"] = {
+            k: round(v, 5) for k, v in parity.items()
+        }
+
+    if args.train_only:
+        print(json.dumps(result))
+        return
+
+    # all three driver metrics by default (round-2 VERDICT #4): secondary
+    # metrics fold into the primary line (so a one-line capture still
+    # records them) AND print as their own JSON lines
+    skw = (dict(batch_size=8, image_size=16, cond_dim=10, channels=32,
+                num_steps=10, reps=1) if args.quick else {})
+    steps_ps, imgs_ps = bench_ddim(**skw)
+    fkw = dict(batch_size=8, reps=1) if args.quick else {}
+    feat_ps = bench_feat(**fkw)
+    result["ddim_steps_per_sec"] = round(steps_ps, 2)
+    result["ddim_imgs_per_sec"] = round(imgs_ps, 2)
+    result["feat_extract_imgs_per_sec"] = round(feat_ps, 2)
+    print(json.dumps(result))
+    print(json.dumps({
+        "metric": "ddim_steps_per_sec",
+        "value": round(steps_ps, 2),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+        "ddim_imgs_per_sec": round(imgs_ps, 2),
+    }))
+    print(json.dumps({
+        "metric": "feat_extract_imgs_per_sec",
+        "value": round(feat_ps, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": None,
+    }))
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ class AttentionLR(nn.Module):
     heads: int = 8
     dim_head: int = 64
     context_dim: int | None = None
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -89,7 +89,7 @@ class AttentionLR(nn.Module):
         # single-head K shared across query heads (multi-query attention)
         from .layers import _pallas_ok
 
-        if _pallas_ok(self.use_pallas):
+        if _pallas_ok(self.use_pallas is True):
             from ..ops.pallas.attention import fused_null_kv_attention
 
             out = fused_null_kv_attention(q, k, v).reshape(b, n, inner)

@@ -75,7 +75,7 @@ class GroupNorm32(nn.Module):
     """
 
     num_groups: int = 32
-    use_pallas: bool = False
+    use_pallas: bool | str = False
 
     @nn.compact
     def __call__(
@@ -84,13 +84,18 @@ class GroupNorm32(nn.Module):
         film_scale: jax.Array | None = None,
         film_shift: jax.Array | None = None,
         silu: bool = False,
+        param_only: bool = False,
     ) -> jax.Array:
         c = x.shape[-1]
         groups = math.gcd(self.num_groups, c)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if param_only:
+            # the fused-ResBlock kernel consumes the raw affine params;
+            # declaring them here keeps the tree identical across modes
+            return scale, bias
 
-        if silu and x.ndim == 4 and _pallas_ok(self.use_pallas):
+        if silu and x.ndim == 4 and _pallas_ok(bool(self.use_pallas)):
             from ..ops.pallas.groupnorm import fused_groupnorm_silu
 
             return fused_groupnorm_silu(
@@ -163,6 +168,28 @@ class Downsample(nn.Module):
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for nn.Conv: declares an identically-named
+    and identically-initialized kernel/bias pair (HWIO) so the fused-kernel
+    path shares one checkpoint tree with the nn.Conv path."""
+
+    features: int
+    in_features: int
+    ksize: int = 3
+    kernel_init: Any = nn.linear.default_kernel_init
+    bias_init: Any = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", self.kernel_init,
+            (self.ksize, self.ksize, self.in_features, self.features),
+            jnp.float32,
+        )
+        b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return k, b
+
+
 class ResBlock(nn.Module):
     """Residual block with FiLM time conditioning.
 
@@ -171,6 +198,13 @@ class ResBlock(nn.Module):
     (:313-315); zero-init out conv; optional built-in up/down resampling
     (resblock_updown) where h and the skip are resampled by parameter-free
     nearest/avg-pool ops.
+
+    `use_pallas="fused"` routes the whole block (both GNs, both convs,
+    FiLM, SiLU, dropout, skip-add) through ONE Pallas kernel with a Pallas
+    backward (`ops.pallas.resblock`) — the training-path north star; the
+    parameter tree is identical to the unfused path so checkpoints
+    interoperate.  Falls back for up/down resampling blocks and
+    non-8-aligned widths.
     """
 
     out_channels: int | None = None
@@ -179,13 +213,25 @@ class ResBlock(nn.Module):
     up: bool = False
     down: bool = False
     use_conv_skip: bool = False
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, train: bool = False) -> jax.Array:
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
+
+        if (
+            self.use_pallas == "fused"
+            and _pallas_ok(True)
+            and x.ndim == 4
+            and self.use_scale_shift_norm
+            and not self.up
+            and not self.down
+            and not self.use_conv_skip
+            and x.shape[2] % 8 == 0
+        ):
+            return self._fused(x, emb, c_in, c_out, train)
 
         h = GroupNorm32(use_pallas=self.use_pallas, name="in_norm")(x, silu=True)
         if self.up:
@@ -241,6 +287,35 @@ class ResBlock(nn.Module):
             )
         return skip + h
 
+    def _fused(self, x, emb, c_in: int, c_out: int, train: bool) -> jax.Array:
+        """Single fused-kernel path (ops.pallas.resblock.fused_resblock)."""
+        from ..ops.pallas.resblock import fused_resblock
+
+        g1, b1 = GroupNorm32(name="in_norm")(x, param_only=True)
+        w1, c1 = _ConvParams(c_out, c_in, 3, name="in_conv")()
+        emb_out = nn.Dense(2 * c_out, dtype=self.dtype, name="emb_proj")(
+            nn.silu(emb)
+        )
+        film_scale, film_shift = jnp.split(emb_out, 2, axis=-1)  # [B, c_out]
+        g2, b2 = GroupNorm32(name="out_norm")(
+            jnp.zeros((1, 1, 1, c_out), x.dtype), param_only=True
+        )
+        w2, c2 = _ConvParams(c_out, c_out, 3, kernel_init=zeros_init,
+                             name="out_conv")()
+        skw = skb = None
+        if c_out != c_in:
+            skw, skb = _ConvParams(c_out, c_in, 1, name="skip_proj")()
+        rate = float(self.dropout) if train else 0.0
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.bits(
+                self.make_rng("dropout"), (1,), jnp.uint32
+            ).astype(jnp.int32)
+        return fused_resblock(
+            x, g1, b1, w1, c1, film_scale, film_shift, g2, b2, w2, c2,
+            skw, skb, seed, dropout_rate=rate,
+        )
+
 
 class SelfAttentionBlock(nn.Module):
     """Spatial self-attention at a fixed resolution.
@@ -253,7 +328,7 @@ class SelfAttentionBlock(nn.Module):
 
     num_heads: int = 8
     num_head_channels: int = -1
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,7 +353,9 @@ class SelfAttentionBlock(nn.Module):
         k = k.squeeze(2)
         v = v.squeeze(2)
 
-        if _pallas_ok(self.use_pallas):
+        # use_pallas=True → the fwd-only fused kernel (sampling path);
+        # use_pallas="fused" (train) prefers the flash fwd+bwd route below
+        if _pallas_ok(self.use_pallas is True):
             from ..ops.pallas.attention import fused_self_attention
 
             out = fused_self_attention(

@@ -94,7 +94,7 @@ class UNetBackbone(nn.Module):
     use_ca_block: bool = False
     context_dim: int | None = None
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     def _attn(self, ch: int, name: str):
@@ -228,7 +228,7 @@ class UNetModel(nn.Module):
     condition_method: str | None = None
     lookup_table_size: int = 0  # cluster_lookup: learned per-image table
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -319,7 +319,7 @@ class UNetCAModel(nn.Module):
     use_cls_token_as_pooled: bool = True
     condition_method: str | None = None
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
-    use_pallas: bool = False
+    use_pallas: bool | str = False
     dtype: Any = jnp.float32
 
     @nn.compact

@@ -157,3 +157,57 @@ def _nkv_bwd(interpret, res, g):
 
 
 fused_null_kv_attention.defvjp(_nkv_fwd, _nkv_bwd)
+
+
+def flash_attention_parity_check(b: int = 2, h: int = 8, n: int = 256,
+                                 d: int = 64) -> dict:
+    """Cheap on-chip fwd+grad parity of jax's TPU flash-attention vs the
+    XLA einsum path (the two interchangeable attention routes in
+    models.layers.SelfAttentionBlock).
+
+    Run from bench.py on every TPU bench so a kernel regression cannot ship
+    silently behind the docstring's round-2 numbers (fwd ≤1 bf16 ulp,
+    grads ≤0.6 % rel).  Returns {'fwd_max_abs': .., 'grad_max_rel': ..};
+    raises AssertionError beyond 2 % tolerance.
+    """
+    import math
+
+    import numpy as np
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k1, (b, h, n, d), jnp.bfloat16)
+    k = jax.random.normal(k2, (b, h, n, d), jnp.bfloat16)
+    v = jax.random.normal(k3, (b, h, n, d), jnp.bfloat16)
+
+    def xla_attn(q):
+        scale = 1.0 / math.sqrt(math.sqrt(d))
+        logits = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k * scale,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
+        return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+    bs = BlockSizes(
+        block_q=n, block_k_major=n, block_k=n, block_b=1,
+        block_q_major_dkv=n, block_k_major_dkv=n, block_k_dkv=n,
+        block_q_dkv=n, block_k_major_dq=n, block_k_dq=n, block_q_dq=n,
+    )
+
+    def flash(q):
+        return flash_attention(q, k, v, sm_scale=1.0 / math.sqrt(d),
+                               block_sizes=bs)
+
+    of = np.asarray(jax.jit(flash)(q), np.float32)
+    ox = np.asarray(jax.jit(xla_attn)(q), np.float32)
+    fwd_err = float(np.abs(of - ox).max())
+    gf = np.asarray(jax.jit(jax.grad(
+        lambda q: (flash(q).astype(jnp.float32) ** 2).sum()))(q), np.float32)
+    gx = np.asarray(jax.jit(jax.grad(
+        lambda q: (xla_attn(q).astype(jnp.float32) ** 2).sum()))(q), np.float32)
+    grad_rel = float(np.abs(gf - gx).max() / max(np.abs(gx).max(), 1e-9))
+    assert fwd_err < 0.02, f"flash fwd parity broke: {fwd_err}"
+    assert grad_rel < 0.02, f"flash grad parity broke: {grad_rel}"
+    return {"fwd_max_abs": fwd_err, "grad_max_rel": grad_rel}
