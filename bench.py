@@ -189,7 +189,8 @@ def main() -> None:
     remat = args.remat if args.remat is not None else "none"
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
     if args.xla_opt:
-        kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
+        if args.xla_opt != ["none"]:  # --xla-opt none → no overrides at all
+            kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
     else:
         # measured-best per-generation options (BASELINE.md round-2 sweep),
         # gated on the actual device kind — shared with training/trainer.py
