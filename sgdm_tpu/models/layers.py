@@ -221,8 +221,11 @@ class ResBlock(nn.Module):
         c_in = x.shape[-1]
         c_out = self.out_channels or c_in
 
+        # both Pallas modes take the fused kernel: "fused" is the training
+        # mode (Pallas backward), True is the sampling mode (fwd only —
+        # grad never requested, so the custom VJP is never built)
         if (
-            self.use_pallas == "fused"
+            self.use_pallas in (True, "fused")
             and _pallas_ok(True)
             and x.ndim == 4
             and self.use_scale_shift_norm
@@ -233,7 +236,13 @@ class ResBlock(nn.Module):
         ):
             return self._fused(x, emb, c_in, c_out, train)
 
-        h = GroupNorm32(use_pallas=self.use_pallas, name="in_norm")(x, silu=True)
+        # fallback composition path.  NOTE: only plain `use_pallas=True`
+        # (the fwd-only sampling mode) may route GroupNorm32 through the
+        # fwd-only GN kernel — in "fused" training mode the up/down blocks
+        # landing here must use pure-XLA GN, whose backward fuses (the GN
+        # kernel's recompute-VJP measurably hurts training, BASELINE.md r2)
+        gn_pallas = self.use_pallas is True
+        h = GroupNorm32(use_pallas=gn_pallas, name="in_norm")(x, silu=True)
         if self.up:
             h = Upsample(use_conv=False, dtype=self.dtype)(h)
             x = Upsample(use_conv=False, dtype=self.dtype)(x)
@@ -255,12 +264,12 @@ class ResBlock(nn.Module):
         if self.use_scale_shift_norm:
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             # fused GN + FiLM + SiLU (openaimodel.py:313-315)
-            h = GroupNorm32(use_pallas=self.use_pallas, name="out_norm")(
+            h = GroupNorm32(use_pallas=gn_pallas, name="out_norm")(
                 h, film_scale=scale, film_shift=shift, silu=True
             )
         else:
             h = h + emb_out
-            h = GroupNorm32(use_pallas=self.use_pallas, name="out_norm")(
+            h = GroupNorm32(use_pallas=gn_pallas, name="out_norm")(
                 h, silu=True
             )
         h = nn.Dropout(self.dropout, deterministic=not train)(h)

@@ -11,28 +11,37 @@ The ResBlock chain (openaimodel.py:207-321; models.layers.ResBlock)
 is the train step's dominant HBM traffic: unfused, every link writes and
 re-reads a full [B,H,W,C] activation (≈10 HBM passes per block forward,
 more in the backward).  This kernel processes one sample per grid step with
-EVERYTHING resident in VMEM: the forward reads x and writes out (2 passes);
-the backward reads x and d(out) and writes dx (3 passes) while recomputing
-the intermediates on-chip and accumulating the weight gradients across the
-batch grid in VMEM.
+everything resident in VMEM.
+
+Two forward flavors share one kernel body:
+  * **inference** (primal call, sampling): reads x, writes out — 2 HBM
+    passes total; the padded conv inputs live in persistent VMEM scratch.
+  * **training** (under `jax.grad`, via custom_vjp f_fwd): additionally
+    streams out the residuals the backward needs — the padded conv inputs
+    h1p/h3dp, the pre-GN2 activation h2, and the four per-(sample,group)
+    statistics — so the backward never re-runs conv1 or the GN stats.
+
+The backward reads (x, dout, h1p, h2, stats, h3dp), recomputes only the
+cheap pointwise pieces (xhat/pre chains, the dropout mask from the same
+counter-based hash seed), runs the 4 gradient convs (2 transposed + 2
+weight-grad) as shifted MXU matmuls, and accumulates all weight/affine
+gradients into VMEM-resident output blocks across the sequential batch
+grid.  dx / per-sample FiLM grads are per-grid-step outputs.
 
 Layout/tiling notes (pallas_guide.md):
-  * NHWC; C multiples of 128 are ideal (flagship: 128/256/512/768/1024),
+  * NHWC; C multiples of 128 are ideal (flagship: 128/256/512/768),
     other C work via Mosaic's internal lane padding.
   * The 3x3 conv is 9 shifted [HW, Cin] @ [Cin, Cout] MXU matmuls over a
-    zero-padded [(H+2), (W+2), C] VMEM scratch.  dx-shifts cost one sublane
+    zero-padded [(H+2), (W+2), C] buffer.  dx-shifts cost one sublane
     relayout each (3 per conv); dy-shifts are free 8-aligned row slices of
     the [(H+2)*W, C] view (requires W % 8 == 0 — all shipped presets).
-  * Group statistics ride tiny indicator-matrix matmuls ([1,C]@[C,G]) so
-    no lane-splitting reshapes are needed.
-  * Dropout uses the in-kernel hardware PRNG (pltpu.prng_seed +
-    prng_random_bits), re-seeded identically in the backward — the mask is
-    never materialized in HBM.
+  * Group statistics ride tiny indicator-matrix matmuls ([1,C]@[C,G]).
+  * Conv-transpose taps use pre-flipped weight stacks computed outside.
 
-Weight gradients accumulate into VMEM-resident output blocks whose index
-map is constant across the (sequential) batch grid; film-scale/shift grads
-are per-sample outputs.  Conv-transpose in the backward uses pre-flipped
-weight stacks computed outside the kernel (host-side jnp on [3,3,C,C']).
+Precision: compute in f32, conv operands in the model dtype (bf16 on
+TPU).  The saved h2 residual is stored in the model dtype, so backward
+GN2 statistics see bf16-rounded h2 (≤1 ulp activation noise — same order
+as the conv accumulation differences vs XLA).
 """
 
 from __future__ import annotations
@@ -77,10 +86,7 @@ def _group_mean(t, m, n_per_group):
 
 
 def _conv3x3(pad_ref, w_ref, h, w, cout):
-    """pad_ref [(H+2),(W+2),Cin] scratch (borders zero) ⊛ w_ref [9,Cin,Cout].
-
-    Accumulates the 9 taps as shifted [HW, Cin] @ [Cin, Cout] matmuls.
-    """
+    """pad_ref [(H+2),(W+2),Cin] (borders zero) ⊛ w_ref [9,Cin,Cout]."""
     hw = h * w
     acc = jnp.zeros((hw, cout), jnp.float32)
     for dx in range(3):
@@ -91,11 +97,8 @@ def _conv3x3(pad_ref, w_ref, h, w, cout):
 
 
 def _conv3x3_wgrad(pad_ref, g, h, w, dw_ref):
-    """dW[k] += shifted-input.T @ g for each of the 9 taps.
-
-    pad_ref holds the (padded) conv INPUT of the forward; g [HW, Cout] is
-    the gradient at the conv output.  Accumulates into dw_ref [9,Cin,Cout].
-    """
+    """dW[k] += shifted-conv-input.T @ g for each of the 9 taps
+    (pad_ref holds the padded conv INPUT; g [HW, Cout] output-grad)."""
     hw = h * w
     for dx in range(3):
         sh = pad_ref[:, dx:dx + w, :].reshape((h + 2) * w, -1)
@@ -118,14 +121,10 @@ def _dsilu(z):
 
 
 def _dropout_mask(seed_ref, hw, cout, rate):
-    """In-kernel counter-based keep-mask/(1-rate), regenerated identically
-    in the backward (same per-sample seed).
-
-    A murmur3-style integer finalizer over (seed+sample, element-index) —
-    pure VPU arithmetic, a handful of ops/element, portable to interpret
-    mode (pltpu.prng_* has no CPU lowering).  Statistical quality is ample
-    for dropout keep-masks; nothing else consumes these bits.
-    """
+    """Counter-based keep-mask/(1-rate), regenerated identically in the
+    backward (same per-sample seed).  A murmur3-style integer finalizer —
+    pure VPU arithmetic, portable to interpret mode (pltpu.prng_* has no
+    CPU lowering).  Quality is ample for dropout keep-masks."""
     i = jax.lax.broadcasted_iota(jnp.uint32, (hw, cout), 0)
     j = jax.lax.broadcasted_iota(jnp.uint32, (hw, cout), 1)
     s = (seed_ref[0] + pl.program_id(0)).astype(jnp.uint32)
@@ -140,12 +139,23 @@ def _dropout_mask(seed_ref, hw, cout, rate):
     return (u >= rate).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
-def _write_padded(pad_ref, val, h, w, zero_first: bool):
-    """val [H, W, C] → interior of pad_ref; borders zeroed once at step 0."""
-    if zero_first:
+def _fill_padded(pad_ref, val, h, w, persistent: bool):
+    """val [H, W, C] → interior of pad_ref with zero borders.
+
+    persistent=True: pad_ref is grid-persistent scratch — zero it whole
+    once at step 0.  persistent=False: pad_ref is a per-step output block
+    (fresh memory) — zero the four border strips every step.
+    """
+    if persistent:
         @pl.when(pl.program_id(0) == 0)
         def _():
             pad_ref[...] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
+    else:
+        c = pad_ref.shape[-1]
+        pad_ref[0:1, :, :] = jnp.zeros((1, w + 2, c), pad_ref.dtype)
+        pad_ref[h + 1:h + 2, :, :] = jnp.zeros((1, w + 2, c), pad_ref.dtype)
+        pad_ref[:, 0:1, :] = jnp.zeros((h + 2, 1, c), pad_ref.dtype)
+        pad_ref[:, w + 1:w + 2, :] = jnp.zeros((h + 2, 1, c), pad_ref.dtype)
     pad_ref[1:h + 1, 1:w + 1, :] = val
 
 
@@ -153,18 +163,23 @@ def _write_padded(pad_ref, val, h, w, zero_first: bool):
 
 def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
                 fs_ref, fsh_ref, g2_ref, b2_ref, w2_ref, c2_ref, skw_ref,
-                out_ref, pad1, pad2, *,
-                h, w, g_in, g_out, eps, rate, skip_mode, cdtype):
+                out_ref, pad1, pad2, h2_ref, st1m, st1r, st2m, st2r, *,
+                h, w, g_in, g_out, eps, rate, skip_mode, cdtype,
+                save_res: bool):
     hw = h * w
     cin = x_ref.shape[-1]
     cout = out_ref.shape[-1]
     m1 = _group_matrix(cin, g_in)
     m2 = _group_matrix(cout, g_out)
+    if save_res:  # pads are per-step output blocks [1, H+2, W+2, C]
+        pad1 = pad1.at[0]
+        pad2 = pad2.at[0]
 
     xf = x_ref[0].reshape(hw, cin).astype(jnp.float32)
     mean1, rstd1 = _group_stats(xf, m1, hw * (cin // g_in), eps)
     h1 = _silu((xf - mean1) * rstd1 * g1_ref[...] + b1_ref[...])
-    _write_padded(pad1, h1.reshape(h, w, cin).astype(cdtype), h, w, True)
+    _fill_padded(pad1, h1.reshape(h, w, cin).astype(cdtype), h, w,
+                 persistent=not save_res)
 
     h2 = _conv3x3(pad1, w1_ref, h, w, cout) + c1_ref[...]
     mean2, rstd2 = _group_stats(h2, m2, hw * (cout // g_out), eps)
@@ -174,7 +189,8 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
     h3 = _silu(pre)
     if rate > 0.0:
         h3 = h3 * _dropout_mask(seed_ref, hw, cout, rate)
-    _write_padded(pad2, h3.reshape(h, w, cout).astype(cdtype), h, w, True)
+    _fill_padded(pad2, h3.reshape(h, w, cout).astype(cdtype), h, w,
+                 persistent=not save_res)
 
     out = _conv3x3(pad2, w2_ref, h, w, cout) + c2_ref[...]
     if skip_mode == "identity":
@@ -183,15 +199,23 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
         out = out + _dotf(xf.astype(cdtype), skw_ref[...])
     out_ref[0] = out.reshape(h, w, cout).astype(out_ref.dtype)
 
+    if save_res:
+        h2_ref[0] = h2.astype(h2_ref.dtype)
+        st1m[0] = mean1
+        st1r[0] = rstd1
+        st2m[0] = mean2
+        st2r[0] = rstd2
+
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_kernel(seed_ref, x_ref, dout_ref, g1_ref, b1_ref, w1_ref, c1_ref,
-                fs_ref, fsh_ref, g2_ref, b2_ref, w2_ref, skw_ref,
-                w1t_ref, w2t_ref,
+def _bwd_kernel(seed_ref, x_ref, dout_ref, h1p_ref, h2_ref,
+                st1m, st1r, st2m, st2r,
+                g1_ref, b1_ref, fs_ref, fsh_ref, g2_ref, b2_ref,
+                h3dp_ref, skw_ref, w1t_ref, w2t_ref,
                 dx_ref, dg1_ref, db1_ref, dw1_ref, dc1_ref,
                 dfs_ref, dfsh_ref, dg2_ref, db2_ref, dw2_ref, dc2_ref,
-                dskw_ref, pad1, pad2, padg, *,
+                dskw_ref, padg, *,
                 h, w, g_in, g_out, eps, rate, skip_mode, cdtype):
     hw = h * w
     cin = x_ref.shape[-1]
@@ -207,37 +231,29 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, g1_ref, b1_ref, w1_ref, c1_ref,
                   dw2_ref, dc2_ref, dskw_ref):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    # ---- recompute the forward (all VMEM-resident)
+    # ---- cheap pointwise recompute from saved residuals
     xf = x_ref[0].reshape(hw, cin).astype(jnp.float32)
-    mean1, rstd1 = _group_stats(xf, m1, n1, eps)
+    mean1, rstd1 = st1m[0], st1r[0]
     xhat1 = (xf - mean1) * rstd1
     pre1 = xhat1 * g1_ref[...] + b1_ref[...]
-    _write_padded(pad1, _silu(pre1).reshape(h, w, cin).astype(cdtype),
-                  h, w, True)
-    h2 = _conv3x3(pad1, w1_ref, h, w, cout) + c1_ref[...]
-    mean2, rstd2 = _group_stats(h2, m2, n2, eps)
+    h2 = h2_ref[0].astype(jnp.float32)
+    mean2, rstd2 = st2m[0], st2r[0]
     xhat2 = (h2 - mean2) * rstd2
     gn2 = xhat2 * g2_ref[...] + b2_ref[...]
     fs = fs_ref[0].astype(jnp.float32)
     pre3 = gn2 * (1.0 + fs) + fsh_ref[0].astype(jnp.float32)
-    h3 = _silu(pre3)
-    if rate > 0.0:
-        mask = _dropout_mask(seed_ref, hw, cout, rate)
-        h3d = h3 * mask
-    else:
-        h3d = h3
-    _write_padded(pad2, h3d.reshape(h, w, cout).astype(cdtype), h, w, True)
 
-    # ---- conv2 backward
+    # ---- conv2 backward (input was the saved h3dp)
     g = dout_ref[0].reshape(hw, cout).astype(jnp.float32)
     dc2_ref[...] = dc2_ref[...] + jnp.sum(g, axis=0, keepdims=True)
-    _conv3x3_wgrad(pad2, g, h, w, dw2_ref)
-    _write_padded(padg, g.reshape(h, w, cout).astype(cdtype), h, w, True)
+    _conv3x3_wgrad(h3dp_ref.at[0], g, h, w, dw2_ref)
+    _fill_padded(padg, g.reshape(h, w, cout).astype(cdtype), h, w,
+                 persistent=True)
     dh3d = _conv3x3(padg, w2t_ref, h, w, cout)
 
     # ---- dropout / SiLU / FiLM / GN2 backward
     if rate > 0.0:
-        dh3 = dh3d * mask
+        dh3 = dh3d * _dropout_mask(seed_ref, hw, cout, rate)
     else:
         dh3 = dh3d
     dpre3 = dh3 * _dsilu(pre3)
@@ -252,10 +268,11 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, g1_ref, b1_ref, w1_ref, c1_ref,
     dh2 = rstd2 * (dxhat2 - _group_mean(dxhat2, m2, n2)
                    - xhat2 * _group_mean(dxhat2 * xhat2, m2, n2))
 
-    # ---- conv1 backward
+    # ---- conv1 backward (input was the saved h1p)
     dc1_ref[...] = dc1_ref[...] + jnp.sum(dh2, axis=0, keepdims=True)
-    _conv3x3_wgrad(pad1, dh2, h, w, dw1_ref)
-    _write_padded(padg, dh2.reshape(h, w, cout).astype(cdtype), h, w, False)
+    _conv3x3_wgrad(h1p_ref.at[0], dh2, h, w, dw1_ref)
+    _fill_padded(padg, dh2.reshape(h, w, cout).astype(cdtype), h, w,
+                 persistent=True)
     dh1 = _conv3x3(padg, w1t_ref, h, w, cin)
 
     # ---- SiLU / GN1 backward
@@ -297,17 +314,21 @@ def _stack_w_flip(w, dtype):
         9, w.shape[3], w.shape[2]).astype(dtype)
 
 
-def _common(b, h, w, cin, cout, x_dtype):
+def _specs(h, w):
     row = lambda c: pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)
-    # per-sample [B,1,C] carrier: block (1,1,C) keeps the trailing two dims
-    # equal to the array's (Mosaic tiling requirement — (1,C) blocks of a
-    # [B,C] array are rejected)
-    per_b = pl.BlockSpec((1, 1, cout), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
+    # per-sample [B,1,C] carrier: the trailing two block dims must equal
+    # the array's (Mosaic tiling requirement)
+    per_b = lambda c: pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    padded = lambda c: pl.BlockSpec((1, h + 2, w + 2, c),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)
+    hwc = lambda c: pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    return row, per_b, full, smem
+    return row, per_b, padded, hwc, full, smem
 
 
 def _compiler_params():
@@ -321,31 +342,64 @@ def _compiler_params():
 def _build(g_in, g_out, eps, rate, skip_mode, interpret):
     """One custom-VJP callable per static config (cached)."""
 
-    def fwd_impl(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, seed_f):
+    def fwd_impl(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, seed_f,
+                 save_res: bool):
         # the dropout seed rides as float32 through custom_vjp (int leaves
         # cannot take a None cotangent) — bitcast back to int32 here
         seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
         bsz, h, w, cin = x.shape
         cout = w1.shape[-1]
         cdtype = x.dtype
-        row, per_b, full, smem = _common(bsz, h, w, cin, cout, x.dtype)
+        row, per_b, padded, hwc, full, smem = _specs(h, w)
         kern = functools.partial(
             _fwd_kernel, h=h, w=w, g_in=g_in, g_out=g_out, eps=eps,
             rate=rate, skip_mode=skip_mode, cdtype=cdtype,
+            save_res=save_res,
         )
         skw_in = (jnp.zeros((cin, cout), cdtype) if skip_mode != "proj"
                   else skw.reshape(cin, cout).astype(cdtype))
-        return pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),
-            grid=(bsz,),
-            in_specs=[smem, row(cin)] + [full] * 4 + [per_b, per_b]
-            + [full] * 4 + [full],
-            out_specs=row(cout),
-            scratch_shapes=[
+        f32 = jnp.float32
+        if save_res:
+            out_shape = (
+                jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),      # out
+                jax.ShapeDtypeStruct((bsz, h + 2, w + 2, cin), cdtype),
+                jax.ShapeDtypeStruct((bsz, h + 2, w + 2, cout), cdtype),
+                jax.ShapeDtypeStruct((bsz, h * w, cout), cdtype),      # h2
+                jax.ShapeDtypeStruct((bsz, 1, cin), f32),              # m1
+                jax.ShapeDtypeStruct((bsz, 1, cin), f32),              # r1
+                jax.ShapeDtypeStruct((bsz, 1, cout), f32),             # m2
+                jax.ShapeDtypeStruct((bsz, 1, cout), f32),             # r2
+            )
+            out_specs = (row(cout), padded(cin), padded(cout), hwc(cout),
+                         per_b(cin), per_b(cin), per_b(cout), per_b(cout))
+            scratch = []
+        else:
+            out_shape = jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype)
+            out_specs = row(cout)
+            scratch = [
                 pltpu.VMEM((h + 2, w + 2, cin), cdtype),
                 pltpu.VMEM((h + 2, w + 2, cout), cdtype),
-            ],
+                None, None, None, None, None,  # placeholders (kernel args)
+            ]
+
+        if save_res:
+            kernel = kern
+        else:
+            # map the scratch pads into the save_res=False arg layout
+            def kernel(seed_r, x_r, g1_r, b1_r, w1_r, c1_r, fs_r, fsh_r,
+                       g2_r, b2_r, w2_r, c2_r, skw_r, out_r, p1, p2):
+                kern(seed_r, x_r, g1_r, b1_r, w1_r, c1_r, fs_r, fsh_r,
+                     g2_r, b2_r, w2_r, c2_r, skw_r, out_r, p1, p2,
+                     None, None, None, None, None)
+
+        return pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid=(bsz,),
+            in_specs=[smem, row(cin)] + [full] * 4 + [per_b(cout)] * 2
+            + [full] * 4 + [full],
+            out_specs=out_specs,
+            scratch_shapes=[s for s in scratch if s is not None],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(
@@ -356,12 +410,13 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
         )
 
     def bwd_impl(res, gout):
-        x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, skw, seed_f = res
+        (x, g1, b1, fs, fsh, g2, b2, w1, w2, skw, seed_f,
+         h1p, h3dp, h2s, m1s, r1s, m2s, r2s) = res
         seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
         bsz, h, w, cin = x.shape
         cout = w1.shape[-1]
         cdtype = x.dtype
-        row, per_b, full, smem = _common(bsz, h, w, cin, cout, x.dtype)
+        row, per_b, padded, hwc, full, smem = _specs(h, w)
         kern = functools.partial(
             _bwd_kernel, h=h, w=w, g_in=g_in, g_out=g_out, eps=eps,
             rate=rate, skip_mode=skip_mode, cdtype=cdtype,
@@ -388,67 +443,75 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
                 jax.ShapeDtypeStruct((cin, cout), f32),            # dskw
             ),
             grid=(bsz,),
-            in_specs=[smem, row(cin), row(cout)] + [full] * 4
-            + [per_b, per_b] + [full] * 3 + [full] + [full, full],
+            in_specs=[smem, row(cin), row(cout), padded(cin), hwc(cout),
+                      per_b(cin), per_b(cin), per_b(cout), per_b(cout)]
+            + [full] * 2 + [per_b(cout)] * 2 + [full] * 2
+            + [padded(cout)] + [full] * 3,
             out_specs=(
                 row(cin), acc((1, cin)), acc((1, cin)),
-                acc((9, cin, cout)), acc((1, cout)), per_b, per_b,
+                acc((9, cin, cout)), acc((1, cout)),
+                per_b(cout), per_b(cout),
                 acc((1, cout)), acc((1, cout)), acc((9, cout, cout)),
                 acc((1, cout)), acc((cin, cout)),
             ),
             scratch_shapes=[
-                pltpu.VMEM((h + 2, w + 2, cin), cdtype),
-                pltpu.VMEM((h + 2, w + 2, cout), cdtype),
-                pltpu.VMEM((h + 2, w + 2, cout), cdtype),
+                pltpu.VMEM((h + 2, w + 2, cout), cdtype),          # padg
             ],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(
-            seed, x, gout, _vec(g1), _vec(b1), _stack_w(w1, cdtype),
-            _vec(c1), fs.reshape(bsz, 1, cout), fsh.reshape(bsz, 1, cout),
-            _vec(g2), _vec(b2), _stack_w(w2, cdtype),
-            skw_in, _stack_w_flip(w1, cdtype), _stack_w_flip(w2, cdtype),
+            seed, x, gout, h1p, h2s, m1s, r1s, m2s, r2s,
+            _vec(g1), _vec(b1),
+            fs.reshape(bsz, 1, cout), fsh.reshape(bsz, 1, cout),
+            _vec(g2), _vec(b2),
+            h3dp, skw_in,
+            _stack_w_flip(w1, cdtype), _stack_w_flip(w2, cdtype),
         )
         (dx, dg1, db1, dw1, dc1, dfs, dfsh, dg2, db2, dw2, dc2, dskw) = outs
         dskw_out = (None if skip_mode != "proj"
                     else dskw.reshape(1, 1, cin, cout).astype(skw.dtype))
         dskb_out = None
         if skip_mode == "proj":
-            # skip bias grad = sum over batch+space of gout (computed in XLA:
-            # a single cheap reduction of the cotangent)
+            # skip-bias grad = global sum of the cotangent (cheap XLA)
             dskb_out = jnp.sum(
-                gout.astype(jnp.float32), axis=(0, 1, 2)
-            ).astype(b1.dtype)
+                gout.astype(jnp.float32), axis=(0, 1, 2)).astype(b1.dtype)
         return (
             dx,
             dg1[0].astype(g1.dtype), db1[0].astype(b1.dtype),
             dw1.reshape(3, 3, cin, cout).astype(w1.dtype),
-            dc1[0].astype(c1.dtype),
+            dc1[0].astype(b1.dtype),
             dfs.reshape(bsz, cout).astype(fs.dtype),
             dfsh.reshape(bsz, cout).astype(fsh.dtype),
             dg2[0].astype(g2.dtype), db2[0].astype(b2.dtype),
             dw2.reshape(3, 3, cout, cout).astype(w2.dtype),
-            dc2[0].astype(g2.dtype),
-            dskw_out, dskb_out, None,
+            dc2[0].astype(b1.dtype),
+            dskw_out, dskb_out, jnp.zeros((1,), jnp.float32),
         )
 
     @jax.custom_vjp
-    def f(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed):
-        out = fwd_impl(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, seed)
+    def f(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed_f):
+        # primal (inference/sampling) path: NO residual outputs — 2 HBM
+        # passes total
+        out = fwd_impl(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw,
+                       seed_f, save_res=False)
         if skip_mode == "proj" and skb is not None:
             out = out + skb.astype(out.dtype)
         return out
 
-    def f_fwd(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed):
-        out = f(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed)
-        return out, (x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, skw, seed)
+    def f_fwd(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed_f):
+        # training path: the same kernel additionally streams the backward
+        # residuals to HBM
+        (out, h1p, h3dp, h2s, m1s, r1s, m2s, r2s) = fwd_impl(
+            x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, seed_f,
+            save_res=True,
+        )
+        if skip_mode == "proj" and skb is not None:
+            out = out + skb.astype(out.dtype)
+        return out, (x, g1, b1, fs, fsh, g2, b2, w1, w2, skw, seed_f,
+                     h1p, h3dp, h2s, m1s, r1s, m2s, r2s)
 
     def f_bwd(res, gout):
-        (dx, dg1, db1, dw1, dc1, dfs, dfsh, dg2, db2, dw2, dc2,
-         dskw, dskb, _) = bwd_impl(res, gout)
-        dseed = jnp.zeros((1,), jnp.float32)  # float-carried, no gradient
-        return (dx, dg1, db1, dw1, dc1, dfs, dfsh, dg2, db2, dw2, dc2,
-                dskw, dskb, dseed)
+        return bwd_impl(res, gout)
 
     f.defvjp(f_fwd, f_bwd)
     return f
