@@ -73,6 +73,11 @@ class InceptionExtractor:
             logger.info(f"inception weights: {weights_path}")
             self.params = load_torch_weights(weights_path)
             self.pretrained = True
+            # first-use golden assertion: real weights auto-verify the port
+            # (sidecar golden or torch replica; utils.weight_verify)
+            from ..utils.weight_verify import verify_inception_load
+
+            verify_inception_load(weights_path, self.params)
         else:
             logger.warning(
                 "No pt_inception weights found (set SGDM_INCEPTION_WEIGHTS). "

@@ -139,23 +139,12 @@ def _dropout_mask(seed_ref, hw, cout, rate):
     return (u >= rate).astype(jnp.float32) * (1.0 / (1.0 - rate))
 
 
-def _fill_padded(pad_ref, val, h, w, persistent: bool):
-    """val [H, W, C] → interior of pad_ref with zero borders.
-
-    persistent=True: pad_ref is grid-persistent scratch — zero it whole
-    once at step 0.  persistent=False: pad_ref is a per-step output block
-    (fresh memory) — zero the four border strips every step.
-    """
-    if persistent:
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            pad_ref[...] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
-    else:
-        c = pad_ref.shape[-1]
-        pad_ref[0:1, :, :] = jnp.zeros((1, w + 2, c), pad_ref.dtype)
-        pad_ref[h + 1:h + 2, :, :] = jnp.zeros((1, w + 2, c), pad_ref.dtype)
-        pad_ref[:, 0:1, :] = jnp.zeros((h + 2, 1, c), pad_ref.dtype)
-        pad_ref[:, w + 1:w + 2, :] = jnp.zeros((h + 2, 1, c), pad_ref.dtype)
+def _fill_padded(pad_ref, val, h, w):
+    """val [H, W, C] → interior of the grid-persistent scratch pad_ref
+    (borders zeroed once at step 0 and never overwritten)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        pad_ref[...] = jnp.zeros(pad_ref.shape, pad_ref.dtype)
     pad_ref[1:h + 1, 1:w + 1, :] = val
 
 
@@ -163,7 +152,8 @@ def _fill_padded(pad_ref, val, h, w, persistent: bool):
 
 def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
                 fs_ref, fsh_ref, g2_ref, b2_ref, w2_ref, c2_ref, skw_ref,
-                out_ref, pad1, pad2, h2_ref, st1m, st1r, st2m, st2r, *,
+                out_ref, h1_ref, h3d_ref, h2_ref, st1m, st1r, st2m, st2r,
+                pad1, pad2, *,
                 h, w, g_in, g_out, eps, rate, skip_mode, cdtype,
                 save_res: bool):
     hw = h * w
@@ -171,15 +161,11 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
     cout = out_ref.shape[-1]
     m1 = _group_matrix(cin, g_in)
     m2 = _group_matrix(cout, g_out)
-    if save_res:  # pads are per-step output blocks [1, H+2, W+2, C]
-        pad1 = pad1.at[0]
-        pad2 = pad2.at[0]
 
     xf = x_ref[0].reshape(hw, cin).astype(jnp.float32)
     mean1, rstd1 = _group_stats(xf, m1, hw * (cin // g_in), eps)
-    h1 = _silu((xf - mean1) * rstd1 * g1_ref[...] + b1_ref[...])
-    _fill_padded(pad1, h1.reshape(h, w, cin).astype(cdtype), h, w,
-                 persistent=not save_res)
+    h1 = _silu((xf - mean1) * rstd1 * g1_ref[...] + b1_ref[...]).astype(cdtype)
+    _fill_padded(pad1, h1.reshape(h, w, cin), h, w)
 
     h2 = _conv3x3(pad1, w1_ref, h, w, cout) + c1_ref[...]
     mean2, rstd2 = _group_stats(h2, m2, hw * (cout // g_out), eps)
@@ -189,8 +175,8 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
     h3 = _silu(pre)
     if rate > 0.0:
         h3 = h3 * _dropout_mask(seed_ref, hw, cout, rate)
-    _fill_padded(pad2, h3.reshape(h, w, cout).astype(cdtype), h, w,
-                 persistent=not save_res)
+    h3d = h3.astype(cdtype)
+    _fill_padded(pad2, h3d.reshape(h, w, cout), h, w)
 
     out = _conv3x3(pad2, w2_ref, h, w, cout) + c2_ref[...]
     if skip_mode == "identity":
@@ -200,6 +186,11 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
     out_ref[0] = out.reshape(h, w, cout).astype(out_ref.dtype)
 
     if save_res:
+        # residuals stream out FLAT ([HW, C] blocks tile cleanly; padded
+        # 66-wide buffers as outputs trip Mosaic's sublane alignment) —
+        # the backward re-pads them into its own scratch
+        h1_ref[0] = h1
+        h3d_ref[0] = h3d
         h2_ref[0] = h2.astype(h2_ref.dtype)
         st1m[0] = mean1
         st1r[0] = rstd1
@@ -209,13 +200,13 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
 
 # ---------------------------------------------------------------- backward
 
-def _bwd_kernel(seed_ref, x_ref, dout_ref, h1p_ref, h2_ref,
+def _bwd_kernel(seed_ref, x_ref, dout_ref, h1_ref, h2_ref,
                 st1m, st1r, st2m, st2r,
                 g1_ref, b1_ref, fs_ref, fsh_ref, g2_ref, b2_ref,
-                h3dp_ref, skw_ref, w1t_ref, w2t_ref,
+                h3d_ref, skw_ref, w1t_ref, w2t_ref,
                 dx_ref, dg1_ref, db1_ref, dw1_ref, dc1_ref,
                 dfs_ref, dfsh_ref, dg2_ref, db2_ref, dw2_ref, dc2_ref,
-                dskw_ref, padg, *,
+                dskw_ref, pad_in, padg, *,
                 h, w, g_in, g_out, eps, rate, skip_mode, cdtype):
     hw = h * w
     cin = x_ref.shape[-1]
@@ -243,12 +234,12 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, h1p_ref, h2_ref,
     fs = fs_ref[0].astype(jnp.float32)
     pre3 = gn2 * (1.0 + fs) + fsh_ref[0].astype(jnp.float32)
 
-    # ---- conv2 backward (input was the saved h3dp)
+    # ---- conv2 backward (input was the saved h3d, re-padded to scratch)
     g = dout_ref[0].reshape(hw, cout).astype(jnp.float32)
     dc2_ref[...] = dc2_ref[...] + jnp.sum(g, axis=0, keepdims=True)
-    _conv3x3_wgrad(h3dp_ref.at[0], g, h, w, dw2_ref)
-    _fill_padded(padg, g.reshape(h, w, cout).astype(cdtype), h, w,
-                 persistent=True)
+    _fill_padded(padg, h3d_ref[0].reshape(h, w, cout), h, w)
+    _conv3x3_wgrad(padg, g, h, w, dw2_ref)
+    _fill_padded(padg, g.reshape(h, w, cout).astype(cdtype), h, w)
     dh3d = _conv3x3(padg, w2t_ref, h, w, cout)
 
     # ---- dropout / SiLU / FiLM / GN2 backward
@@ -268,11 +259,11 @@ def _bwd_kernel(seed_ref, x_ref, dout_ref, h1p_ref, h2_ref,
     dh2 = rstd2 * (dxhat2 - _group_mean(dxhat2, m2, n2)
                    - xhat2 * _group_mean(dxhat2 * xhat2, m2, n2))
 
-    # ---- conv1 backward (input was the saved h1p)
+    # ---- conv1 backward (input was the saved h1, re-padded to scratch)
     dc1_ref[...] = dc1_ref[...] + jnp.sum(dh2, axis=0, keepdims=True)
-    _conv3x3_wgrad(h1p_ref.at[0], dh2, h, w, dw1_ref)
-    _fill_padded(padg, dh2.reshape(h, w, cout).astype(cdtype), h, w,
-                 persistent=True)
+    _fill_padded(pad_in, h1_ref[0].reshape(h, w, cin), h, w)
+    _conv3x3_wgrad(pad_in, dh2, h, w, dw1_ref)
+    _fill_padded(padg, dh2.reshape(h, w, cout).astype(cdtype), h, w)
     dh1 = _conv3x3(padg, w1t_ref, h, w, cin)
 
     # ---- SiLU / GN1 backward
@@ -362,35 +353,27 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
         if save_res:
             out_shape = (
                 jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype),      # out
-                jax.ShapeDtypeStruct((bsz, h + 2, w + 2, cin), cdtype),
-                jax.ShapeDtypeStruct((bsz, h + 2, w + 2, cout), cdtype),
+                jax.ShapeDtypeStruct((bsz, h * w, cin), cdtype),       # h1
+                jax.ShapeDtypeStruct((bsz, h * w, cout), cdtype),      # h3d
                 jax.ShapeDtypeStruct((bsz, h * w, cout), cdtype),      # h2
                 jax.ShapeDtypeStruct((bsz, 1, cin), f32),              # m1
                 jax.ShapeDtypeStruct((bsz, 1, cin), f32),              # r1
                 jax.ShapeDtypeStruct((bsz, 1, cout), f32),             # m2
                 jax.ShapeDtypeStruct((bsz, 1, cout), f32),             # r2
             )
-            out_specs = (row(cout), padded(cin), padded(cout), hwc(cout),
+            out_specs = (row(cout), hwc(cin), hwc(cout), hwc(cout),
                          per_b(cin), per_b(cin), per_b(cout), per_b(cout))
-            scratch = []
+            kernel = kern
         else:
             out_shape = jax.ShapeDtypeStruct((bsz, h, w, cout), x.dtype)
             out_specs = row(cout)
-            scratch = [
-                pltpu.VMEM((h + 2, w + 2, cin), cdtype),
-                pltpu.VMEM((h + 2, w + 2, cout), cdtype),
-                None, None, None, None, None,  # placeholders (kernel args)
-            ]
 
-        if save_res:
-            kernel = kern
-        else:
             # map the scratch pads into the save_res=False arg layout
             def kernel(seed_r, x_r, g1_r, b1_r, w1_r, c1_r, fs_r, fsh_r,
                        g2_r, b2_r, w2_r, c2_r, skw_r, out_r, p1, p2):
                 kern(seed_r, x_r, g1_r, b1_r, w1_r, c1_r, fs_r, fsh_r,
-                     g2_r, b2_r, w2_r, c2_r, skw_r, out_r, p1, p2,
-                     None, None, None, None, None)
+                     g2_r, b2_r, w2_r, c2_r, skw_r, out_r,
+                     None, None, None, None, None, None, None, p1, p2)
 
         return pl.pallas_call(
             kernel,
@@ -399,7 +382,10 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
             in_specs=[smem, row(cin)] + [full] * 4 + [per_b(cout)] * 2
             + [full] * 4 + [full],
             out_specs=out_specs,
-            scratch_shapes=[s for s in scratch if s is not None],
+            scratch_shapes=[
+                pltpu.VMEM((h + 2, w + 2, cin), cdtype),
+                pltpu.VMEM((h + 2, w + 2, cout), cdtype),
+            ],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(
@@ -411,7 +397,7 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
 
     def bwd_impl(res, gout):
         (x, g1, b1, fs, fsh, g2, b2, w1, w2, skw, seed_f,
-         h1p, h3dp, h2s, m1s, r1s, m2s, r2s) = res
+         h1s, h3ds, h2s, m1s, r1s, m2s, r2s) = res
         seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
         bsz, h, w, cin = x.shape
         cout = w1.shape[-1]
@@ -443,10 +429,10 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
                 jax.ShapeDtypeStruct((cin, cout), f32),            # dskw
             ),
             grid=(bsz,),
-            in_specs=[smem, row(cin), row(cout), padded(cin), hwc(cout),
+            in_specs=[smem, row(cin), row(cout), hwc(cin), hwc(cout),
                       per_b(cin), per_b(cin), per_b(cout), per_b(cout)]
             + [full] * 2 + [per_b(cout)] * 2 + [full] * 2
-            + [padded(cout)] + [full] * 3,
+            + [hwc(cout)] + [full] * 3,
             out_specs=(
                 row(cin), acc((1, cin)), acc((1, cin)),
                 acc((9, cin, cout)), acc((1, cout)),
@@ -455,16 +441,17 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
                 acc((1, cout)), acc((cin, cout)),
             ),
             scratch_shapes=[
+                pltpu.VMEM((h + 2, w + 2, cin), cdtype),           # pad_in
                 pltpu.VMEM((h + 2, w + 2, cout), cdtype),          # padg
             ],
             compiler_params=_compiler_params(),
             interpret=interpret,
         )(
-            seed, x, gout, h1p, h2s, m1s, r1s, m2s, r2s,
+            seed, x, gout, h1s, h2s, m1s, r1s, m2s, r2s,
             _vec(g1), _vec(b1),
             fs.reshape(bsz, 1, cout), fsh.reshape(bsz, 1, cout),
             _vec(g2), _vec(b2),
-            h3dp, skw_in,
+            h3ds, skw_in,
             _stack_w_flip(w1, cdtype), _stack_w_flip(w2, cdtype),
         )
         (dx, dg1, db1, dw1, dc1, dfs, dfsh, dg2, db2, dw2, dc2, dskw) = outs
@@ -501,14 +488,14 @@ def _build(g_in, g_out, eps, rate, skip_mode, interpret):
     def f_fwd(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, skb, seed_f):
         # training path: the same kernel additionally streams the backward
         # residuals to HBM
-        (out, h1p, h3dp, h2s, m1s, r1s, m2s, r2s) = fwd_impl(
+        (out, h1s, h3ds, h2s, m1s, r1s, m2s, r2s) = fwd_impl(
             x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, skw, seed_f,
             save_res=True,
         )
         if skip_mode == "proj" and skb is not None:
             out = out + skb.astype(out.dtype)
         return out, (x, g1, b1, fs, fsh, g2, b2, w1, w2, skw, seed_f,
-                     h1p, h3dp, h2s, m1s, r1s, m2s, r2s)
+                     h1s, h3ds, h2s, m1s, r1s, m2s, r2s)
 
     def f_bwd(res, gout):
         return bwd_impl(res, gout)

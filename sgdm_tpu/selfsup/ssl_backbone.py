@@ -255,6 +255,12 @@ def get_ssl_backbone(
         logger.info(f"loading {name} weights from {path}")
         params = (load_simclr_torch_weights(path) if name in ("simclr_rn50", "rn50")
                   else load_dino_torch_weights(path))
+        if name.startswith("dino_"):
+            # first-use golden assertion against the torch ground truth
+            # (utils.weight_verify; sidecar golden on later loads)
+            from ..utils.weight_verify import verify_dino_load
+
+            verify_dino_load(path, model, params)
     else:
         logger.warning(
             f"No checkpoint for {name} (set SGDM_SSL_CKPT_DIR). Using a "
