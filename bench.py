@@ -175,13 +175,16 @@ def main() -> None:
         # below the HBM-pressure point where XLA starts internally
         # rematerializing fusions (BASELINE.md round 2 sweep)
         kw = dict(batch_size=args.batch_size or 192)
-    # training default = fused-ResBlock Pallas kernels (round-3: 1.5-2.2x
-    # per-block over XLA, fwd+bwd); --pallas selects the older fwd-only
-    # kernel set; sampling auto-enables its kernels inside make_sample_fn
+    # training default = XLA path: measured fastest (457 vs 414 samples/s
+    # for the fused-ResBlock kernels at their best batch size — in-program
+    # XLA fuses resblock chains to parity with the kernels and the saved
+    # residuals cost HBM headroom; full analysis in BASELINE.md round 3).
+    # --fused opts the TRAIN step into the Pallas fwd+bwd kernels; sampling
+    # always uses the fused forward kernels (measured fastest there).
     if args.pallas:
         kw["use_pallas"] = True
     else:
-        kw["use_pallas"] = "fused" if args.fused is not False else False
+        kw["use_pallas"] = "fused" if args.fused else False
     # default: no remat — fastest measured (BASELINE.md round-2: every remat
     # variant is ≤ baseline at bs=256; XLA schedules near the HBM cap either
     # way, and 'S(1)' buffers are VMEM prefetch, not host offload).  'conv'
