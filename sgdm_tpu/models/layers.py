@@ -223,18 +223,30 @@ class ResBlock(nn.Module):
 
         # both Pallas modes take the fused kernel: "fused" is the training
         # mode (Pallas backward), True is the sampling mode (fwd only —
-        # grad never requested, so the custom VJP is never built)
+        # grad never requested, so the custom VJP is never built).  The
+        # up/down resblock_updown variants have a FORWARD-ONLY kernel, so
+        # they fuse only in sampling mode (True) without dropout.
         if (
             self.use_pallas in (True, "fused")
             and _pallas_ok(True)
             and x.ndim == 4
             and self.use_scale_shift_norm
-            and not self.up
-            and not self.down
             and not self.use_conv_skip
             and x.shape[2] % 8 == 0
         ):
-            return self._fused(x, emb, c_in, c_out, train)
+            if not self.up and not self.down:
+                return self._fused(x, emb, c_in, c_out, train)
+            if (
+                self.use_pallas is True
+                and c_out == c_in
+                and not (train and self.dropout > 0)
+                and (x.shape[2] * 2 if self.up else x.shape[2] // 2) % 8 == 0
+                and (x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+            ):
+                return self._fused(
+                    x, emb, c_in, c_out, train,
+                    resample="up" if self.up else "down",
+                )
 
         # fallback composition path.  NOTE: only plain `use_pallas=True`
         # (the fwd-only sampling mode) may route GroupNorm32 through the
@@ -296,7 +308,8 @@ class ResBlock(nn.Module):
             )
         return skip + h
 
-    def _fused(self, x, emb, c_in: int, c_out: int, train: bool) -> jax.Array:
+    def _fused(self, x, emb, c_in: int, c_out: int, train: bool,
+               resample: str | None = None) -> jax.Array:
         """Single fused-kernel path (ops.pallas.resblock.fused_resblock)."""
         from ..ops.pallas.resblock import fused_resblock
 
@@ -322,7 +335,7 @@ class ResBlock(nn.Module):
             ).astype(jnp.int32)
         return fused_resblock(
             x, g1, b1, w1, c1, film_scale, film_shift, g2, b2, w2, c2,
-            skw, skb, seed, dropout_rate=rate,
+            skw, skb, seed, dropout_rate=rate, resample=resample,
         )
 
 

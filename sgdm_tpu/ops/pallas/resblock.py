@@ -198,6 +198,63 @@ def _fwd_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
         st2r[0] = rstd2
 
 
+def _pool2(t, ho, wo, c):
+    """[H,W,C] → 2x2 average pool [Ho,Wo,C] (avg_pool parity)."""
+    return t.reshape(ho, 2, wo, 2, c).mean(axis=(1, 3))
+
+
+def _up2(t):
+    """[H,W,C] → 2x nearest upsample (broadcast parity)."""
+    return jnp.repeat(jnp.repeat(t, 2, axis=0), 2, axis=1)
+
+
+def _fwd_resample_kernel(seed_ref, x_ref, g1_ref, b1_ref, w1_ref, c1_ref,
+                         fs_ref, fsh_ref, g2_ref, b2_ref, w2_ref, c2_ref,
+                         out_ref, pad1, pad2, *,
+                         hi, wi, resample, g_in, g_out, eps, rate, cdtype):
+    """Forward for resblock_updown blocks (up/down=True, identity skip,
+    Cin==Cout): GN1+SiLU at input res, nearest-up / avg-pool-down of both
+    h and the skip IN-KERNEL, convs at the output resolution.
+    Parity: models.layers.ResBlock up/down branches (openaimodel.py
+    resblock_updown).  Forward-only — the sampling path; training keeps
+    the XLA composition for these blocks (backward fuses better there).
+    """
+    c = x_ref.shape[-1]
+    if resample == "down":
+        ho, wo = hi // 2, wi // 2
+    else:
+        ho, wo = hi * 2, wi * 2
+    hwi, hwo = hi * wi, ho * wo
+    m1 = _group_matrix(c, g_in)
+    m2 = _group_matrix(c, g_out)
+
+    xf = x_ref[0].reshape(hwi, c).astype(jnp.float32)
+    mean1, rstd1 = _group_stats(xf, m1, hwi * (c // g_in), eps)
+    h1 = _silu((xf - mean1) * rstd1 * g1_ref[...] + b1_ref[...])
+    h1g = h1.reshape(hi, wi, c)
+    xg = xf.reshape(hi, wi, c)
+    if resample == "down":
+        h1r = _pool2(h1g, ho, wo, c)
+        skip = _pool2(xg, ho, wo, c).reshape(hwo, c)
+    else:
+        h1r = _up2(h1g)
+        skip = _up2(xg).reshape(hwo, c)
+    _fill_padded(pad1, h1r.astype(cdtype), ho, wo)
+
+    h2 = _conv3x3(pad1, w1_ref, ho, wo, c) + c1_ref[...]
+    mean2, rstd2 = _group_stats(h2, m2, hwo * (c // g_out), eps)
+    pre = ((h2 - mean2) * rstd2 * g2_ref[...] + b2_ref[...])
+    pre = pre * (1.0 + fs_ref[0].astype(jnp.float32)) \
+        + fsh_ref[0].astype(jnp.float32)
+    h3 = _silu(pre)
+    if rate > 0.0:
+        h3 = h3 * _dropout_mask(seed_ref, hwo, c, rate)
+    _fill_padded(pad2, h3.astype(cdtype).reshape(ho, wo, c), ho, wo)
+
+    out = _conv3x3(pad2, w2_ref, ho, wo, c) + c2_ref[...] + skip
+    out_ref[0] = out.reshape(ho, wo, c).astype(out_ref.dtype)
+
+
 # ---------------------------------------------------------------- backward
 
 def _bwd_kernel(seed_ref, x_ref, dout_ref, h1_ref, h2_ref,
@@ -327,6 +384,50 @@ def _compiler_params():
         dimension_semantics=("arbitrary",),  # sequential: VMEM accumulators
         vmem_limit_bytes=100 * 1024 * 1024,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _build_resample(g_in, g_out, eps, rate, resample, interpret):
+    """Forward-only resample-variant callable (sampling path; no VJP —
+    training falls back to the XLA module composition for these blocks)."""
+
+    def fn(x, g1, b1, w1, c1, fs, fsh, g2, b2, w2, c2, seed_f):
+        seed = jax.lax.bitcast_convert_type(seed_f, jnp.int32)
+        bsz, hi, wi, c = x.shape
+        if resample == "down":
+            ho, wo = hi // 2, wi // 2
+        else:
+            ho, wo = hi * 2, wi * 2
+        cdtype = x.dtype
+        _, per_b, _, _, full, smem = _specs(hi, wi)
+        rowi = pl.BlockSpec((1, hi, wi, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        rowo = pl.BlockSpec((1, ho, wo, c), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _fwd_resample_kernel, hi=hi, wi=wi, resample=resample,
+            g_in=g_in, g_out=g_out, eps=eps, rate=rate, cdtype=cdtype,
+        )
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((bsz, ho, wo, c), x.dtype),
+            grid=(bsz,),
+            in_specs=[smem, rowi] + [full] * 4 + [per_b(c)] * 2
+            + [full] * 4,
+            out_specs=rowo,
+            scratch_shapes=[
+                pltpu.VMEM((ho + 2, wo + 2, c), cdtype),
+                pltpu.VMEM((ho + 2, wo + 2, c), cdtype),
+            ],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )(
+            seed, x, _vec(g1), _vec(b1), _stack_w(w1, cdtype), _vec(c1),
+            fs.reshape(bsz, 1, c), fsh.reshape(bsz, 1, c),
+            _vec(g2), _vec(b2), _stack_w(w2, cdtype), _vec(c2),
+        )
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -508,14 +609,17 @@ def fused_resblock(
     x, gn1_scale, gn1_bias, w1, b1, film_scale, film_shift,
     gn2_scale, gn2_bias, w2, b2, skip_w=None, skip_b=None, seed=None,
     *, num_groups: int = 32, eps: float = 1e-5, dropout_rate: float = 0.0,
-    interpret: bool | None = None,
+    resample: str | None = None, interpret: bool | None = None,
 ):
     """out = skip(x) + conv2(dropout(silu(GN2(conv1(silu(GN1(x))))·FiLM)))
 
     x [B,H,W,Cin]; w1 [3,3,Cin,Cout]; w2 [3,3,Cout,Cout]; film_* [B,Cout];
     skip_w None (identity skip, Cin==Cout) or [1,1,Cin,Cout] projection.
     seed: int32 [1] dropout seed (required when dropout_rate>0 in training).
-    Requires W % 8 == 0 (dy-slices stay sublane-aligned).
+    resample 'up'/'down' selects the resblock_updown variant (identity
+    skip only; FORWARD-ONLY — no VJP is defined, use for sampling/eval).
+    Requires W % 8 == 0 at the conv resolution (dy-slices stay
+    sublane-aligned).
     """
     if interpret is None:
         # auto: interpret when the target is not a TPU (CPU tests drive the
@@ -525,17 +629,28 @@ def fused_resblock(
         interpret = not on_tpu_target()
     bsz, h, w, cin = x.shape
     cout = w1.shape[-1]
-    assert w % 8 == 0, f"fused_resblock needs W % 8 == 0, got {w}"
     assert film_scale.shape == (bsz, cout), film_scale.shape
-    skip_mode = "identity" if skip_w is None else "proj"
-    if skip_mode == "identity":
-        assert cin == cout, (cin, cout)
     g_in = _gcd_groups(num_groups, cin)
     g_out = _gcd_groups(num_groups, cout)
     if seed is None:
         seed = jnp.zeros((1,), jnp.int32)
     seed_f = jax.lax.bitcast_convert_type(
         jnp.asarray(seed, jnp.int32).reshape(1), jnp.float32)
+    if resample is not None:
+        assert resample in ("up", "down"), resample
+        assert cin == cout and skip_w is None, "resample = identity skip"
+        wo = w // 2 if resample == "down" else w * 2
+        assert wo % 8 == 0, f"conv width {wo} must be 8-aligned"
+        if resample == "down":
+            assert h % 2 == 0 and w % 2 == 0, (h, w)
+        fn = _build_resample(g_in, g_out, float(eps), float(dropout_rate),
+                             resample, bool(interpret))
+        return fn(x, gn1_scale, gn1_bias, w1, b1, film_scale, film_shift,
+                  gn2_scale, gn2_bias, w2, b2, seed_f)
+    assert w % 8 == 0, f"fused_resblock needs W % 8 == 0, got {w}"
+    skip_mode = "identity" if skip_w is None else "proj"
+    if skip_mode == "identity":
+        assert cin == cout, (cin, cout)
     fn = _build(g_in, g_out, float(eps), float(dropout_rate), skip_mode,
                 bool(interpret))
     return fn(x, gn1_scale, gn1_bias, w1, b1, film_scale, film_shift,
@@ -553,10 +668,11 @@ def _gcd_groups(num_groups: int, c: int) -> int:
 def resblock_reference(
     x, gn1_scale, gn1_bias, w1, b1, film_scale, film_shift,
     gn2_scale, gn2_bias, w2, b2, skip_w=None, skip_b=None,
-    *, num_groups: int = 32, eps: float = 1e-5,
+    *, num_groups: int = 32, eps: float = 1e-5, resample: str | None = None,
 ):
     """Pure-XLA composition (no dropout) for parity tests: mirrors
-    models.layers.ResBlock with use_scale_shift_norm, NHWC, f32 GN."""
+    models.layers.ResBlock with use_scale_shift_norm, NHWC, f32 GN
+    (+ the resblock_updown nearest-up / avg-pool-down variants)."""
     def gn(t, scale, bias, groups):
         b_, h_, w_, c_ = t.shape
         t32 = t.astype(jnp.float32).reshape(b_, h_ * w_, groups, c_ // groups)
@@ -578,6 +694,14 @@ def resblock_reference(
     g_in = _gcd_groups(num_groups, cin)
     g_out = _gcd_groups(num_groups, cout)
     h1 = jax.nn.silu(gn(x, gn1_scale, gn1_bias, g_in)).astype(x.dtype)
+    if resample == "down":
+        pool = lambda t: t.reshape(
+            t.shape[0], t.shape[1] // 2, 2, t.shape[2] // 2, 2, t.shape[3]
+        ).mean(axis=(2, 4)).astype(t.dtype)
+        h1, x = pool(h1), pool(x)
+    elif resample == "up":
+        up = lambda t: jnp.repeat(jnp.repeat(t, 2, axis=1), 2, axis=2)
+        h1, x = up(h1), up(x)
     h2 = conv(h1, w1, b1)
     pre = gn(h2, gn2_scale, gn2_bias, g_out)
     pre = pre * (1.0 + film_scale[:, None, None, :]) \

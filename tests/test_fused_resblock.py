@@ -154,3 +154,43 @@ def test_tpu_compiled_parity_bf16():
                                 - ref.astype(jnp.float32))))
     scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
     assert err / scale < 0.02
+
+
+@pytest.mark.parametrize("resample", ["up", "down"])
+def test_resample_variant_forward_parity(resample):
+    """resblock_updown variants (forward-only kernel, identity skip)."""
+    B, H, W, C = 2, 16, 16, 32
+    rng = np.random.default_rng(7)
+    f = lambda *s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    x = f(B, H, W, C)
+    args = [f(C) + 1, f(C) * 0.1, f(3, 3, C, C) * 0.1, f(C) * 0.1,
+            f(B, C) * 0.1, f(B, C) * 0.1, f(C) + 1, f(C) * 0.1,
+            f(3, 3, C, C) * 0.1, f(C) * 0.1]
+    out = fused_resblock(x, *args, resample=resample, interpret=True)
+    ref = resblock_reference(x, *args, resample=resample)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("updown", ["up", "down"])
+def test_module_resample_fused_matches_unfused(monkeypatch, updown):
+    from sgdm_tpu.models import layers
+
+    monkeypatch.setattr(layers, "_pallas_ok", lambda v: bool(v))
+    B, H, W, C = 2, 16, 16, 32
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    emb = jnp.asarray(rng.standard_normal((B, 64)), jnp.float32)
+    kw = {"up": True} if updown == "up" else {"down": True}
+    fused = layers.ResBlock(out_channels=C, use_pallas=True, **kw)
+    plain = layers.ResBlock(out_channels=C, use_pallas=False, **kw)
+    v = plain.init(jax.random.PRNGKey(0), x, emb)
+    assert jax.tree.structure(
+        fused.init(jax.random.PRNGKey(0), x, emb)
+    ) == jax.tree.structure(v)
+    of = fused.apply(v, x, emb)
+    op = plain.apply(v, x, emb)
+    assert of.shape == op.shape
+    np.testing.assert_allclose(np.asarray(of), np.asarray(op),
+                               rtol=2e-4, atol=2e-4)
