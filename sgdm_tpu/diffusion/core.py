@@ -25,7 +25,11 @@ from .schedule import DiffusionSchedule, unnormalize_to_zero_to_255
 
 __all__ = ["GaussianDiffusion", "SAMPLER_REGISTRY"]
 
-SAMPLER_REGISTRY = ("native", "ddim", "plms", "pndm", "tero")
+# "vdm" / "ddim_continuous" extend the reference registry (ddpm.py:28-34):
+# the reference ships those samplers unregistered (continuous_vdm.py,
+# continous_ddim.py); here they are wired in and usable
+SAMPLER_REGISTRY = ("native", "ddim", "plms", "pndm", "tero",
+                    "vdm", "ddim_continuous")
 
 
 class GaussianDiffusion:
@@ -141,6 +145,36 @@ class GaussianDiffusion:
         elif sampling_method == "tero":
             img, inter = edm_sample(
                 denoise_fn, rng, shape, num_steps=num_steps or 50, **common,
+            )
+        elif sampling_method == "vdm":
+            from .samplers.continuous import get_log_snr_fn, vdm_sample
+
+            # continuous-time ancestral sampler; the denoiser is called
+            # with per-sample LOG-SNR as its time input (continuous_vdm.py)
+            img, inter = vdm_sample(
+                get_log_snr_fn(
+                    self.beta_schedule if self.beta_schedule in
+                    ("linear", "cosine") else "linear"),
+                denoise_fn, rng, shape, num_steps=num_steps or 250,
+                clip_denoised=clip_denoised, **common,
+            )
+        elif sampling_method == "ddim_continuous":
+            from .samplers.continuous import (
+                ddim_continuous_sample,
+                get_log_snr_fn,
+            )
+
+            ls_fn = get_log_snr_fn(
+                self.beta_schedule if self.beta_schedule in
+                ("linear", "cosine") else "linear")
+            img, inter = ddim_continuous_sample(
+                lambda t: jax.nn.sigmoid(ls_fn(t)),
+                denoise_fn, rng, shape,
+                num_ddpm_timesteps=self.num_timesteps,
+                num_steps=num_steps or 50, eta=ddim_eta,
+                clip_denoised=clip_denoised, dtp=dtp,
+                temperature=temperature, noise_dropout=noise_dropout,
+                **common,
             )
         else:
             raise KeyError(
