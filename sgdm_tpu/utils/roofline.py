@@ -72,8 +72,37 @@ class OpTraffic:
         return self.out_bytes + self.in_bytes
 
 
-_INSTR_RE = re.compile(
-    r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\([^)]*\)|\S+)\s+([\w\-]+)\(")
+_LHS_RE = re.compile(r"^\s+(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+_KIND_RE = re.compile(r"([\w\-]+)\(")
+
+
+def _parse_instr(line: str):
+    """(name, result_shape, opcode, args_rhs) for an HLO instruction line;
+    None otherwise.  Handles tuple result shapes whose layouts contain
+    parens (e.g. `(f32[8,128]{1,0:T(8,128)}, ...)`)."""
+    m = _LHS_RE.match(line)
+    if not m:
+        return None
+    name, rhs = m.groups()
+    rhs = rhs.lstrip()
+    if rhs.startswith("("):  # tuple shape: take the balanced prefix
+        depth = 0
+        end = 0
+        for i, ch in enumerate(rhs):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        shape, rest = rhs[:end + 1], rhs[end + 1:].lstrip()
+    else:
+        shape, _, rest = rhs.partition(" ")
+    km = _KIND_RE.match(rest)
+    if not km:
+        return None
+    return name, shape, km.group(1), rest[km.end():]
 
 
 def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
@@ -84,9 +113,9 @@ def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
     # build the full map to be safe)
     shapes: dict[str, str] = {}
     for line in hlo_text.splitlines():
-        m = _INSTR_RE.match(line)
-        if m:
-            shapes[m.group(1)] = m.group(2)
+        p = _parse_instr(line)
+        if p:
+            shapes[p[0]] = p[1]
 
     # find the entry computation: "ENTRY %name (..) -> .. {" … "}"
     entry = []
@@ -102,16 +131,15 @@ def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
 
     ops: dict[str, OpTraffic] = {}
     for line in entry:
-        m = _INSTR_RE.match(line)
-        if not m:
+        p = _parse_instr(line)
+        if not p:
             continue
-        name, shape_str, kind = m.groups()
+        name, shape_str, kind, rhs = p
         if kind in ("parameter", "constant", "tuple", "get-tuple-element",
                     "bitcast"):
             continue
         out_b = _shape_bytes(shape_str)
         # operands: %name refs on the right-hand side
-        rhs = line.split(f"{kind}(", 1)[-1]
         in_b = 0
         for ref in re.findall(r"%([\w.\-]+)", rhs):
             if ref in shapes:
