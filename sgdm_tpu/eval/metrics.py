@@ -65,6 +65,52 @@ class FeatureStats:
         cov = (self._outer - self.n * np.outer(mu, mu)) / (self.n - 1)
         return mu, cov
 
+    def merge(self, other: "FeatureStats") -> "FeatureStats":
+        """In-place merge of another accumulator (sums are additive)."""
+        if other._sum is None:
+            return self
+        if self._sum is None:
+            d = other._sum.shape[0]
+            self._sum = np.zeros(d)
+            self._outer = np.zeros((d, d))
+        self.n += other.n
+        self._sum += other._sum
+        self._outer += other._outer
+        if self.capture_all:
+            self._raw.extend(other._raw)
+        return self
+
+    def reduce_across_processes(self) -> "FeatureStats":
+        """Multi-host FID reduction (SURVEY §5.8): sum (n, Σx, ΣxxT) over
+        all jax processes via one on-device all-gather — the collective
+        replacement for sharing per-rank PNG dirs.  Each process ends up
+        holding the GLOBAL statistics; raw captures stay process-local.
+        No-op single-process."""
+        import jax
+
+        if jax.process_count() == 1:
+            return self
+        assert self._sum is not None, "reduce called before any append"
+        from jax.experimental import multihost_utils
+
+        d = self._sum.shape[0]
+        packed = np.concatenate(
+            [[float(self.n)], self._sum, self._outer.reshape(-1)]
+        ).astype(np.float64)
+        # two-float split keeps f64 precision through the f32 collective
+        # (jax x64 is disabled; f32 roundoff on 50k-sample outer sums
+        # would bias FID covariances)
+        hi = packed.astype(np.float32)
+        lo = (packed - hi.astype(np.float64)).astype(np.float32)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(np.stack([hi, lo]))
+        ).astype(np.float64)  # [P, 2, 1+d+d*d]
+        total = gathered.sum(axis=(0, 1))
+        self.n = int(round(total[0]))
+        self._sum = total[1:1 + d]
+        self._outer = total[1 + d:].reshape(d, d)
+        return self
+
 
 def frechet_distance(
     mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray,

@@ -227,15 +227,21 @@ def audit_train_step(mode: str = "fused", batch_size: int = 192,
 
     rows = sorted(ops.values(), key=lambda o: o.ms, reverse=True)
     total_bytes = sum(o.bytes for o in rows)
+    total_out = sum(o.out_bytes for o in rows)
     total_ms = sum(o.ms for o in rows)
     print(f"# mode={mode} bs={batch_size} ch={channels} {image_size}px — "
           f"{steps} traced steps, {measured_step_ms:.1f} ms/step "
           f"(sync-op sum {total_ms:.1f} ms)")
-    print(f"# program traffic {total_bytes / 1e9:.1f} GB/step → "
-          f"{total_bytes / 1e9 / (measured_step_ms / 1e3):.0f} GB/s program "
-          f"average vs {hbm_gbps:.0f} GB/s measured peak "
-          f"({total_bytes / 1e9 / (measured_step_ms / 1e3) / hbm_gbps:.0%} "
-          "roofline attainment)")
+    # two traffic bounds: written bytes (every result is materialized once
+    # — a conservative HBM floor) and operand+result bytes (an upper bound:
+    # multi-consumer reads count per consumer, and MSA-staged VMEM copies
+    # mean some 'reads' never touch HBM again)
+    dt_s = measured_step_ms / 1e3
+    print(f"# traffic: written {total_out / 1e9:.1f} GB/step "
+          f"({total_out / 1e9 / dt_s:.0f} GB/s, "
+          f"{total_out / 1e9 / dt_s / hbm_gbps:.0%} of {hbm_gbps:.0f} GB/s "
+          f"measured peak) · operand+result upper bound "
+          f"{total_bytes / 1e9:.1f} GB/step")
     print(f"{'fusion':58s} {'GB':>7s} {'ms':>7s} {'GB/s':>6s} {'%step':>6s}")
     for o in rows[:top]:
         gbs = o.bytes / 1e9 / (o.ms / 1e3) if o.ms > 0 else float("nan")

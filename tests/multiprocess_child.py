@@ -15,6 +15,11 @@ import os
 import sys
 
 
+def _process_slice(n, pid, nproc):
+    per = n // nproc
+    return slice(pid * per, (pid + 1) * per)
+
+
 def main() -> None:
     pid = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -98,6 +103,23 @@ def main() -> None:
     n_dev = len(jax.devices())
     leaf = jax.tree.leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == n_dev, leaf.sharding
+
+    # ---- multi-host FID statistics reduction (SURVEY §5.8): each process
+    # accumulates stats over ITS feature shard; after the collective both
+    # hold the global (n, mean, cov) — compare against the full-set answer
+    from sgdm_tpu.eval.metrics import FeatureStats
+
+    feats_global = np.random.default_rng(0).standard_normal((32, 6))
+    mine = FeatureStats()
+    mine.append(feats_global[_process_slice(32, pid, nproc)])
+    mine.reduce_across_processes()
+    want = FeatureStats()
+    want.append(feats_global)
+    mu_a, cov_a = mine.mean_cov()
+    mu_b, cov_b = want.mean_cov()
+    assert mine.n == 32
+    np.testing.assert_allclose(mu_a, mu_b, atol=1e-6)
+    np.testing.assert_allclose(cov_a, cov_b, atol=1e-6)
 
     # ---- mini per-process FID sample-dir loop
     sample_dir = os.path.join(outdir, f"test_main{_process_suffix()}")
