@@ -10,8 +10,11 @@ from .layers import (
     timestep_embedding,
 )
 from .unet import UNetBackbone, UNetCAModel, UNetModel
+from .zoo import LatentFC, VDMUNet
 
 __all__ = [
+    "LatentFC",
+    "VDMUNet",
     "AttentionLR",
     "CrossAttentionLR",
     "ema_decay_schedule",

@@ -1,4 +1,4 @@
-"""Extra denoiser zoo: the diffae latent MLP and the lucidrains VDM UNet.
+"""Extra denoiser zoo: the diffae latent MLP and the lucidrains UNets.
 
 TPU-native (NHWC Flax) rewrites of the reference's remaining
 instantiable denoiser classes (never used by any shipped config, kept
@@ -19,7 +19,11 @@ for zoo completeness — SURVEY §2.4 "unused model zoo"):
     + 1×1 residual; linear attention = softmax(q over tokens) ·
     softmax(k over features) in the efficient-attention factorization.
 
-Both expose `forward_with_cond_scale`-compatible calls (unconditional —
+  * `DDPMUNet` ← dynamic/diffusionmodules/unet_ddpm_lucidrains.py —
+    the newer lucidrains DDPM variant (two skips per level, channel
+    changes inside the resampling convs).
+
+All expose `forward_with_cond_scale`-compatible calls (unconditional —
 cond args accepted and ignored, like the reference's passthrough
 `unet_vdm_lucidrain.py:291-292`).  The `VDMUNet` pairs with the
 continuous 'vdm' sampler (diffusion/samplers/continuous.py): pass
@@ -37,7 +41,7 @@ from flax import linen as nn
 
 from .layers import timestep_embedding
 
-__all__ = ["LatentFC", "VDMUNet"]
+__all__ = ["LatentFC", "VDMUNet", "DDPMUNet"]
 
 
 _ACTS = {
@@ -299,4 +303,85 @@ class VDMUNet(nn.Module):
 
     def forward_with_cond_scale(self, x, t, cond_scale=None, **kwargs):
         """Unconditional passthrough (unet_vdm_lucidrain.py:291-292)."""
+        return self(x, t, **kwargs)
+
+
+class DDPMUNet(nn.Module):
+    """lucidrains DDPM UNet variant (unet_ddpm_lucidrains.py): per-level
+    channels stay at dim_in with TWO skip connections pushed per level
+    (after block1 and after attn), channel changes happen inside the
+    4×4/2 down conv (3×3 on the last level) and the nearest-up + 3×3
+    conv (3×3 on the last level); up blocks each consume a
+    [x ‖ skip] concat."""
+
+    dim: int = 64
+    init_dim: int | None = None
+    out_dim: int | None = None
+    dim_mults: Sequence[int] = (1, 2, 4, 8)
+    channels: int = 3
+    resnet_block_groups: int = 8
+    learned_variance: bool = False
+
+    @nn.compact
+    def __call__(self, x, t, **_ignored):
+        init_dim = self.init_dim or self.dim
+        x = nn.Conv(init_dim, (7, 7), padding=3, name="init_conv")(x)
+        r = x
+        emb = timestep_embedding(t.astype(jnp.float32), self.dim)
+        time_dim = self.dim * 4
+        emb = nn.Dense(time_dim, name="time_mlp1")(emb)
+        emb = nn.gelu(emb)
+        emb = nn.Dense(time_dim, name="time_mlp2")(emb)
+
+        dims = [init_dim] + [self.dim * m for m in self.dim_mults]
+        in_out = list(zip(dims[:-1], dims[1:]))
+        g = self.resnet_block_groups
+
+        hs = []
+        for i, (dim_in, dim_out) in enumerate(in_out):
+            last = i == len(in_out) - 1
+            x = _ResnetBlock(dim_in, g, name=f"down_{i}_b1")(x, emb)
+            hs.append(x)
+            x = _ResnetBlock(dim_in, g, name=f"down_{i}_b2")(x, emb)
+            x = _PreNormResidual(
+                _LinearAttention(), name=f"down_{i}_attn")(x)
+            hs.append(x)
+            if not last:
+                x = nn.Conv(dim_out, (4, 4), strides=(2, 2), padding=1,
+                            name=f"down_{i}_ds")(x)
+            else:
+                x = nn.Conv(dim_out, (3, 3), padding=1,
+                            name=f"down_{i}_ds")(x)
+
+        mid = dims[-1]
+        x = _ResnetBlock(mid, g, name="mid_b1")(x, emb)
+        x = _PreNormResidual(_Attention(), name="mid_attn")(x)
+        x = _ResnetBlock(mid, g, name="mid_b2")(x, emb)
+
+        for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
+            last = i == len(in_out) - 1
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = _ResnetBlock(dim_out, g, name=f"up_{i}_b1")(x, emb)
+            x = jnp.concatenate([x, hs.pop()], axis=-1)
+            x = _ResnetBlock(dim_out, g, name=f"up_{i}_b2")(x, emb)
+            x = _PreNormResidual(
+                _LinearAttention(), name=f"up_{i}_attn")(x)
+            if not last:
+                b, hh, ww, c = x.shape
+                x = jnp.broadcast_to(
+                    x[:, :, None, :, None, :], (b, hh, 2, ww, 2, c)
+                ).reshape(b, hh * 2, ww * 2, c)
+                x = nn.Conv(dim_in, (3, 3), padding=1,
+                            name=f"up_{i}_us")(x)
+            else:
+                x = nn.Conv(dim_in, (3, 3), padding=1,
+                            name=f"up_{i}_us")(x)
+
+        x = jnp.concatenate([x, r], axis=-1)
+        x = _ResnetBlock(self.dim, g, name="final_res")(x, emb)
+        out_dim = self.out_dim or self.channels * (
+            2 if self.learned_variance else 1)
+        return nn.Conv(out_dim, (1, 1), name="final_conv")(x)
+
+    def forward_with_cond_scale(self, x, t, cond_scale=None, **kwargs):
         return self(x, t, **kwargs)

@@ -72,3 +72,16 @@ def test_vdm_unet_drives_continuous_sampler():
     )
     assert img.shape == (2, 16, 16, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_ddpm_lucidrains_unet_forward():
+    from sgdm_tpu.models.zoo import DDPMUNet
+
+    m = DDPMUNet(dim=16, dim_mults=(1, 2), resnet_block_groups=4)
+    x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 16, 3)),
+                    jnp.float32)
+    t = jnp.asarray([3.0, 500.0])
+    v = m.init(jax.random.PRNGKey(0), x, t)
+    out = m.apply(v, x, t)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
