@@ -11,10 +11,13 @@ from .layers import (
 )
 from .unet import UNetBackbone, UNetCAModel, UNetModel
 from .zoo import LatentFC, VDMUNet
+from .zoo_imagen import BaseUnet64, ImagenUNet
 
 __all__ = [
     "LatentFC",
     "VDMUNet",
+    "ImagenUNet",
+    "BaseUnet64",
     "AttentionLR",
     "CrossAttentionLR",
     "ema_decay_schedule",

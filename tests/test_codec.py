@@ -1,0 +1,162 @@
+"""LDM first-stage codec family (models/codec.py).
+
+Parity target: dynamic/diffusionmodules/model.py (dead zoo — the
+reference file itself needs the external `ldm` package, :8-9).
+Shape/finite/flag coverage for every class in the file.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgdm_tpu.models.codec import (
+    AttnBlock,
+    Decoder,
+    Encoder,
+    FirstStagePostProcessor,
+    LatentRescaler,
+    LDMModel,
+    LinAttnBlock,
+    MergedRescaleDecoder,
+    MergedRescaleEncoder,
+    SimpleDecoder,
+    UpsampleDecoder,
+    Upsampler,
+    resize,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def _x(*shape):
+    return jnp.asarray(RNG.standard_normal(shape), jnp.float32)
+
+
+def test_ldm_model_forward():
+    """Model: timestep UNet with mid + per-resolution attention and
+    channel-concat context (model.py:317-363)."""
+    m = LDMModel(ch=16, out_ch=3, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), resolution=16)
+    x, t = _x(2, 16, 16, 3), jnp.asarray([1.0, 500.0])
+    ctx = _x(2, 16, 16, 2)
+    v = m.init(jax.random.PRNGKey(0), x, t, ctx)
+    out = m.apply(v, x, t, ctx)
+    assert out.shape == (2, 16, 16, 3)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # attention params exist at the 8px level and in the middle
+    names = set(v["params"].keys())
+    assert "mid_attn_1" in names and "down_1_attn_0" in names
+
+
+def test_ldm_model_no_timestep_linear_attn():
+    m = LDMModel(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                 attn_resolutions=(8,), resolution=16,
+                 use_timestep=False, use_linear_attn=True)
+    x = _x(1, 16, 16, 3)
+    v = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(v, x).shape == (1, 16, 16, 3)
+
+
+def test_encoder_decoder_roundtrip_shapes():
+    """Encoder 2·z head (double_z) down 2**(n-1); Decoder back up
+    (model.py:427-433, :479-483)."""
+    enc = Encoder(ch=16, ch_mult=(1, 2, 2), num_res_blocks=1,
+                  resolution=32, z_channels=4, attn_resolutions=(8,))
+    x = _x(2, 32, 32, 3)
+    ev = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(ev, x)
+    assert z.shape == (2, 8, 8, 8)  # 32/2^2, 2*z_channels
+    dec = Decoder(ch=16, out_ch=3, ch_mult=(1, 2, 2), num_res_blocks=1,
+                  resolution=32, attn_resolutions=(8,), tanh_out=True)
+    dv = dec.init(jax.random.PRNGKey(1), z[..., :4])
+    rec = dec.apply(dv, z[..., :4])
+    assert rec.shape == (2, 32, 32, 3)
+    assert float(jnp.abs(rec).max()) <= 1.0  # tanh_out
+    pre = Decoder(ch=16, out_ch=3, ch_mult=(1, 2, 2), num_res_blocks=1,
+                  resolution=32, give_pre_end=True)
+    pv = pre.init(jax.random.PRNGKey(2), z[..., :4])
+    assert pre.apply(pv, z[..., :4]).shape == (2, 32, 32, 16)
+
+
+def test_encoder_single_z():
+    enc = Encoder(ch=8, ch_mult=(1, 2), num_res_blocks=1, resolution=16,
+                  z_channels=4, double_z=False)
+    x = _x(1, 16, 16, 3)
+    v = enc.init(jax.random.PRNGKey(0), x)
+    assert enc.apply(v, x).shape == (1, 8, 8, 4)
+
+
+def test_simple_and_upsample_decoders():
+    sd = SimpleDecoder(out_channels=3)
+    x = _x(1, 8, 8, 16)
+    v = sd.init(jax.random.PRNGKey(0), x)
+    assert sd.apply(v, x).shape == (1, 16, 16, 3)  # one 2× upsample
+    ud = UpsampleDecoder(out_channels=3, ch=8, num_res_blocks=1,
+                         ch_mult=(2, 2))
+    v2 = ud.init(jax.random.PRNGKey(1), x)
+    assert ud.apply(v2, x).shape == (1, 16, 16, 3)  # n_levels-1 upsamples
+
+
+@pytest.mark.parametrize("factor,expect", [(2.0, 16), (0.5, 4)])
+def test_latent_rescaler(factor, expect):
+    m = LatentRescaler(factor=factor, mid_channels=16, out_channels=8,
+                       depth=1)
+    x = _x(1, 8, 8, 4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(v, x)
+    assert out.shape == (1, expect, expect, 8)
+
+
+def test_merged_rescale_encoder_decoder():
+    enc = MergedRescaleEncoder(ch=8, out_ch=4, ch_mult=(1, 2),
+                               num_res_blocks=1, resolution=16,
+                               rescale_factor=0.5)
+    x = _x(1, 16, 16, 3)
+    v = enc.init(jax.random.PRNGKey(0), x)
+    z = enc.apply(v, x)
+    assert z.shape == (1, 4, 4, 4)  # 16/2 enc, ×0.5 rescale
+    dec = MergedRescaleDecoder(z_channels=4, out_ch=3, ch=8,
+                               ch_mult=(1, 2), num_res_blocks=1,
+                               resolution=16, rescale_factor=2.0)
+    v2 = dec.init(jax.random.PRNGKey(1), z)
+    assert dec.apply(v2, z).shape == (1, 16, 16, 3)  # ×2 rescale, 2× dec
+
+
+def test_upsampler():
+    m = Upsampler(in_size=8, out_size=16, in_channels=4, out_channels=3)
+    x = _x(1, 8, 8, 4)
+    v = m.init(jax.random.PRNGKey(0), x)
+    # num_blocks = log2(2)+1 = 2 levels → one decoder upsample ×2
+    assert m.apply(v, x).shape == (1, 16, 16, 3)
+
+
+def test_resize_functional():
+    x = _x(1, 8, 8, 2)
+    assert resize(x, 1.0) is x
+    assert resize(x, 2.0).shape == (1, 16, 16, 2)
+    assert resize(x, 0.5, mode="nearest").shape == (1, 4, 4, 2)
+
+
+def test_attn_blocks_shapes():
+    x = _x(2, 8, 8, 16)
+    a = AttnBlock()
+    v = a.init(jax.random.PRNGKey(0), x)
+    assert a.apply(v, x).shape == x.shape
+    la = LinAttnBlock()
+    v2 = la.init(jax.random.PRNGKey(1), x)
+    assert la.apply(v2, x).shape == x.shape
+
+
+def test_first_stage_post_processor():
+    m = FirstStagePostProcessor(ch_mult=(1, 2), n_channels=8, reshape=True)
+    z = _x(2, 16, 16, 4)
+    v = m.init(jax.random.PRNGKey(0), z)
+    out = m.apply(v, z)
+    # two avg-pool downs: 16 → 4; tokens reshape
+    assert out.shape == (2, 16, 16)
+    # encode_fn path + stop_gradient: grads wrt input are zero
+    def loss(zz):
+        return jnp.sum(m.apply(v, zz, encode_fn=lambda q: q * 2.0) ** 2)
+    g = jax.grad(loss)(z)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
