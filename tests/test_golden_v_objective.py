@@ -1,0 +1,153 @@
+"""Golden parity: v-objective samplers vs the reference's vendored torch code.
+
+Runs the ACTUAL `diffusion/sampler/v_diffusion/diffusion/{sampling,utils}.py`
+(with a torchvision stub — only PIL helpers need it) against
+sgdm_tpu.diffusion.samplers.v_objective on identical deterministic toy
+v-models, comparing full trajectories for every sampler in the family.
+"""
+
+import math
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from sgdm_tpu.diffusion.samplers import v_objective as vo
+
+
+@pytest.fixture(scope="module")
+def ref():
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.transforms.functional"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision.transforms"].functional = \
+        sys.modules["torchvision.transforms.functional"]
+    sys.path.insert(0, "/root/reference/diffusion/sampler/v_diffusion")
+    from diffusion import sampling, utils
+    yield sampling, utils
+    sys.path.remove("/root/reference/diffusion/sampler/v_diffusion")
+
+
+def _torch_model(x, t, **kw):
+    # v(x, t) = 0.1·x·cos(t) + 0.05  (deterministic, t is [B])
+    return 0.1 * x * torch.cos(t).view(-1, 1, 1, 1) + 0.05
+
+
+def _jax_model(x, t):
+    return 0.1 * x * jnp.cos(t).reshape(-1, 1, 1, 1) + 0.05
+
+
+RNG = np.random.default_rng(0)
+X0 = RNG.standard_normal((2, 3, 8, 8)).astype(np.float32)
+# max t < 1: at t=1 the ε-parameterized transfer divides by α=cos(π/2)≈0
+# (sampling.py:159) and f32 blow-up swamps the comparison — real schedules
+# never reach 1 exactly either (the spliced schedule maps 1 → 0.9957)
+STEPS = np.linspace(0.97, 0.05, 8).astype(np.float32)
+
+
+def _run_pair(torch_fn, jax_fn):
+    out_t = torch_fn(torch.from_numpy(X0.copy())).numpy()
+    out_j = np.asarray(jax_fn(jnp.asarray(X0)))
+    np.testing.assert_allclose(out_j, out_t, rtol=2e-5, atol=2e-5)
+
+
+def test_schedule_utils_golden(ref):
+    _, utils = ref
+    t = np.linspace(0.0, 1.0, 11).astype(np.float32)
+    for name in ("get_ddpm_schedule", "get_spliced_ddpm_cosine_schedule",
+                 "get_log_schedule"):
+        want = getattr(utils, name)(torch.from_numpy(t)).numpy()
+        got = np.asarray(getattr(vo, name)(jnp.asarray(t)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=name)
+    a_t, s_t = utils.t_to_alpha_sigma(torch.from_numpy(t))
+    a_j, s_j = vo.t_to_alpha_sigma(jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(a_j), a_t.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_j), s_t.numpy(), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vo.alpha_sigma_to_t(a_j, s_j)), t, rtol=1e-5, atol=1e-6)
+
+
+def test_v_sample_golden(ref):
+    sampling, _ = ref
+    steps_t = torch.from_numpy(STEPS)
+    _run_pair(
+        lambda x: sampling.sample(_torch_model, x, steps_t, 0.0, {}),
+        lambda x: vo.v_sample(_jax_model, x, jnp.asarray(STEPS), eta=0.0))
+
+
+def test_v_cond_sample_golden(ref):
+    sampling, _ = ref
+
+    def cond_t(x, t, pred, **kw):
+        return 0.01 * pred
+
+    def cond_j(x, t, pred):
+        return 0.01 * pred
+
+    steps_t = torch.from_numpy(STEPS)
+    _run_pair(
+        lambda x: sampling.cond_sample(_torch_model, x, steps_t, 0.0, {},
+                                       cond_t),
+        lambda x: vo.v_cond_sample(_jax_model, x, jnp.asarray(STEPS), cond_j,
+                                   eta=0.0))
+
+
+def test_v_reverse_sample_golden(ref):
+    sampling, _ = ref
+    rsteps = STEPS[::-1].copy()
+    _run_pair(
+        lambda x: sampling.reverse_sample(_torch_model, x,
+                                          torch.from_numpy(rsteps), {}),
+        lambda x: vo.v_reverse_sample(_jax_model, x, jnp.asarray(rsteps)))
+
+
+@pytest.mark.parametrize("name", ["prk", "pie", "plms", "plms2", "iplms"])
+def test_pseudo_numerical_golden(ref, name):
+    sampling, _ = ref
+    torch_fn = getattr(sampling, f"{name}_sample")
+    jax_fn = getattr(vo, f"{name}_sample")
+    steps_t = torch.from_numpy(STEPS)
+    _run_pair(
+        lambda x: torch_fn(_torch_model, x, steps_t, {}),
+        lambda x: jax_fn(_jax_model, x, jnp.asarray(STEPS)))
+
+
+@pytest.mark.parametrize("name", ["prk", "plms", "iplms"])
+def test_pseudo_numerical_reverse_golden(ref, name):
+    """is_reverse=True: no zero append, ascending steps."""
+    sampling, _ = ref
+    rsteps = STEPS[::-1].copy()
+    torch_fn = getattr(sampling, f"{name}_sample")
+    jax_fn = getattr(vo, f"{name}_sample")
+    _run_pair(
+        lambda x: torch_fn(_torch_model, x, torch.from_numpy(rsteps), {},
+                           is_reverse=True),
+        lambda x: jax_fn(_jax_model, x, jnp.asarray(rsteps), is_reverse=True))
+
+
+def test_analytic_model_preserves_unit_gaussian():
+    """For x₀~N(0,I) the optimal v is 0: E[v|x_t] = α·(σx) − σ·(αx) = 0;
+    DDIM then contracts by Πcos(Δπ/2) ≈ 1 — samples stay ≈ N(0,1)."""
+    model = lambda x, t: jnp.zeros_like(x)
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (64, 8, 8, 3))
+    steps = jnp.linspace(1.0, 0.0, 51)[:-1]
+    out = vo.v_sample(model, x, steps)
+    std = float(jnp.std(out))
+    assert 0.9 < std < 1.05, std
+
+
+def test_eta_noise_path_runs():
+    model = lambda x, t: 0.1 * x
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3))
+    out = vo.v_sample(model, x, jnp.asarray(STEPS), eta=1.0,
+                      rng=jax.random.PRNGKey(2))
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
