@@ -34,13 +34,13 @@ BASELINE_SAMPLES_PER_SEC = 250.0  # estimated A100 torch baseline (see above)
 
 def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
           use_pallas: bool = True, use_checkpoint: bool = False,
-          compiler_options: dict | None = None):
+          compiler_options: dict | None = None, fused_optim: bool = False):
     import jax
     import jax.numpy as jnp
 
     from sgdm_tpu.diffusion import GaussianDiffusion
     from sgdm_tpu.models import UNetModel
-    from sgdm_tpu.training.optim import create_optimizer
+    from sgdm_tpu.training.optim import create_optimizer, lambda_linear_schedule
     from sgdm_tpu.training.state import create_train_state, make_train_step
 
     model = UNetModel(
@@ -58,19 +58,23 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
         "cond": jnp.zeros((batch_size, cond_dim)),
     }
     state = create_train_state(model, tx, rng, batch, {"cond": batch["cond"]})
+    optim_hparams = dict(lr_schedule=lambda_linear_schedule(1e-4),
+                         beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=0.01)
     step = make_train_step(model, diffusion, tx, cond_drop_prob=0.1,
-                           compiler_options=compiler_options)
+                           compiler_options=compiler_options,
+                           fused_optim=fused_optim,
+                           optim_hparams=optim_hparams)
     return model, diffusion, state, step, batch
 
 
 def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
                 iters=20, warmup=3, use_pallas=True, use_checkpoint=False,
-                compiler_options=None):
+                compiler_options=None, fused_optim=False):
     import jax
 
     model, diffusion, state, step, batch = build(
         batch_size, image_size, cond_dim, channels, use_pallas, use_checkpoint,
-        compiler_options=compiler_options,
+        compiler_options=compiler_options, fused_optim=fused_optim,
     )
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
@@ -155,6 +159,9 @@ def main() -> None:
     p.add_argument("--no-fused", dest="fused", action="store_false",
                    help="disable the fused-ResBlock train path (pure XLA)")
     p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--fused-optim", action="store_true",
+                   help="one-pass Pallas AdamW+EMA parameter update "
+                        "(ops/pallas/fused_optim.py; exact optax math)")
     p.add_argument("--xla-opt", action="append", default=[],
                    metavar="KEY=VAL",
                    help="extra XLA compiler option(s) shipped with the "
@@ -191,6 +198,7 @@ def main() -> None:
     # remains available for large-batch headroom.
     remat = args.remat if args.remat is not None else "none"
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
+    kw["fused_optim"] = args.fused_optim
     if args.xla_opt:
         if args.xla_opt != ["none"]:  # --xla-opt none → no overrides at all
             kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)

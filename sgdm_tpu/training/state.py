@@ -101,6 +101,8 @@ def make_train_step(
     fast_dropout_rng: bool = True,
     compiler_options: Mapping[str, str] | None = None,
     mesh: Mesh | None = None,
+    fused_optim: bool = False,
+    optim_hparams: Mapping[str, Any] | None = None,
 ) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
     """Build the fused train step.  ``batch`` must contain 'image' (NHWC,
     [-1,1]) and any condition tensors under 'cond'/'layout' keys.
@@ -111,6 +113,21 @@ def make_train_step(
     [accum, micro, ...] and gradients are averaged before one optimizer
     update, matching Lightning's semantics.
     """
+
+    fused_update = None
+    if fused_optim:
+        # one Pallas pass for AdamW + EMA (exact optax/LitEma math; see
+        # ops/pallas/fused_optim.py) — opt-in, measured in BASELINE.md
+        from ..ops.pallas.fused_optim import make_fused_adamw_ema
+
+        hp = dict(optim_hparams or {})
+        fused_update = make_fused_adamw_ema(
+            hp["lr_schedule"],
+            b1=hp.get("beta1", 0.9), b2=hp.get("beta2", 0.999),
+            eps=hp.get("eps", 1e-8),
+            weight_decay=hp.get("weight_decay", 1e-2),
+            ema_decay=ema_decay, use_ema=use_ema,
+        )
 
     def _loss_and_grads(params, batch, loss_rng, dropout_rng):
         cond_kwargs = {
@@ -173,15 +190,23 @@ def make_train_step(
                 "epoch_stats_x": auxs["epoch_stats_x"].reshape(-1),
                 "epoch_stats_y": auxs["epoch_stats_y"].reshape(-1),
             }
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-
-        if use_ema:
-            n = state.ema_updates + 1
-            ema_params = ema_update(state.ema_params, params, n, ema_decay)
+        if fused_update is not None:
+            params, opt_state, ema_params = fused_update(
+                grads, state.opt_state, state.params, state.ema_params,
+                state.ema_updates)
+            n = state.ema_updates + 1 if use_ema else state.ema_updates
         else:
-            n = state.ema_updates
-            ema_params = params
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+
+            if use_ema:
+                n = state.ema_updates + 1
+                ema_params = ema_update(state.ema_params, params, n,
+                                        ema_decay)
+            else:
+                n = state.ema_updates
+                ema_params = params
 
         new_state = state.replace(
             step=state.step + 1,
