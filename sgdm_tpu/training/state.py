@@ -101,6 +101,7 @@ def make_train_step(
     fast_dropout_rng: bool = True,
     compiler_options: Mapping[str, str] | None = None,
     mesh: Mesh | None = None,
+    state_shardings: Any | None = None,
     fused_optim: bool = False,
     optim_hparams: Mapping[str, Any] | None = None,
 ) -> Callable[[TrainState, Mapping[str, Any], jax.Array], tuple[TrainState, dict]]:
@@ -112,6 +113,11 @@ def make_train_step(
     micro-batching, SURVEY.md §5.8): the global batch dim is split
     [accum, micro, ...] and gradients are averaged before one optimizer
     update, matching Lightning's semantics.
+
+    ``state_shardings``: optional NamedSharding tree for the TrainState
+    (same structure) — pass `parallel.tp.state_sharding(state, mesh)` to
+    train tensor-parallel over a 2-D ('data','model') mesh; default is the
+    1-D behavior (params/opt-state replicated, DDP-equivalent).
     """
 
     fused_update = None
@@ -232,11 +238,12 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    state_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         train_step,
         donate_argnums=(0,),
-        in_shardings=(repl, data, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, data, repl),
+        out_shardings=(state_sh, repl),
         compiler_options=copts,
     )
 

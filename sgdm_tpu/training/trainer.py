@@ -86,17 +86,40 @@ class SelfGuidedDiffusionTrainer:
 
         # --- runtime -------------------------------------------------
         pl_cfg = to_container(hparams.get("pl") or {})
-        strategy = (pl_cfg.get("trainer") or {}).get("strategy", "data_parallel")
+        trainer_cfg = pl_cfg.get("trainer") or {}
+        strategy = trainer_cfg.get("strategy", "data_parallel")
+        # tensor_parallel=N splits the 'model' axis off the device list —
+        # the scaling extension beyond the reference's DDP (parallel/tp.py);
+        # N must divide the device count, model_channels, and (for
+        # collective-free GroupNorm) the 32 GN groups
+        self.tensor_parallel = int(trainer_cfg.get("tensor_parallel", 1))
         if strategy == "data_parallel":
             import os
 
             devices = (
                 jax.devices("cpu") if os.environ.get("SGDM_FORCE_CPU") else None
             )
-            self.mesh = create_mesh(devices)
+            if self.tensor_parallel > 1:
+                devs = list(devices if devices is not None else jax.devices())
+                tp = self.tensor_parallel
+                assert len(devs) % tp == 0, (len(devs), tp)
+                self.mesh = create_mesh(
+                    devs, axis_names=("data", "model"),
+                    shape=(len(devs) // tp, tp),
+                )
+                if getattr(self.model, "use_pallas", False):
+                    logger.warning(
+                        "tensor_parallel>1 requires the XLA conv path — "
+                        "Pallas kernels are per-device programs GSPMD "
+                        "cannot partition; set dynamic.params.use_pallas="
+                        "false"
+                    )
+            else:
+                self.mesh = create_mesh(devices)
         else:
             self.mesh = None
         self.state: TrainState | None = None
+        self._state_shardings = None
         self.tracker: Tracker | None = None
         self.ckpt: CheckpointManager | None = None
         self.global_step = 0
@@ -142,8 +165,12 @@ class SelfGuidedDiffusionTrainer:
             {k: v for k, v in cond_kwargs.items() if v is not None},
         )
         if self.mesh is not None:
-            repl = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
-            self.state = jax.device_put(self.state, repl)
+            from ..parallel.tp import state_sharding
+
+            # 1-D mesh → fully replicated (DDP semantics); 2-D mesh →
+            # tensor-parallel param/opt-state shardings over 'model'
+            self._state_shardings = state_sharding(self.state, self.mesh)
+            self.state = jax.device_put(self.state, self._state_shardings)
         n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
         logger.info(f"model params: {n_params/1e6:.2f}M")
 
@@ -170,10 +197,12 @@ class SelfGuidedDiffusionTrainer:
         self.datamodule = datamodule  # exposed for the eval harness
         train_dl = datamodule.train_dataloader()
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            assert train_dl.batch_size % n_dev == 0, (
+            n_data = dict(zip(self.mesh.axis_names,
+                              self.mesh.devices.shape)).get(
+                "data", self.mesh.devices.size)
+            assert train_dl.batch_size % n_data == 0, (
                 f"batch_size {train_dl.batch_size} must be divisible by the "
-                f"data-parallel mesh size {n_dev} (set data.params."
+                f"data-parallel mesh size {n_data} (set data.params."
                 f"batch_size or pl.trainer.strategy=null)"
             )
         first = next(iter(train_dl))
@@ -203,6 +232,7 @@ class SelfGuidedDiffusionTrainer:
             accumulate_grad_batches=int(pl_trainer.get("accumulate_grad_batches", 1)),
             compiler_options=xla_options or None,
             mesh=self.mesh,
+            state_shardings=self._state_shardings,
         )
         rng = jax.random.PRNGKey(self.seed + 1)
 
