@@ -44,8 +44,8 @@ __all__ = [
     "shard_train_state",
 ]
 
-_COL_DENSE = ("time_embed_1", "mlp_cond_1")   # kernel [D, F] → shard F
-_ROW_DENSE = ("time_embed_2", "mlp_cond_2")   # kernel [F, D] → shard F
+_COL_DENSE = ("time_embed_1", "mlp_cond_1", "cond_mlp_1")  # [D,F] → shard F
+_ROW_DENSE = ("time_embed_2", "mlp_cond_2", "cond_mlp_2")  # [F,D] → shard F
 
 
 def _path_names(path) -> tuple[str, ...]:
@@ -81,6 +81,17 @@ def _pspec_for(names: tuple[str, ...], shape, axis: str, axis_size: int):
         if leaf == "bias" and len(shape) == 1 and ok(0):
             return P(axis)
     elif mod == "proj_out":
+        if leaf == "kernel" and len(shape) == 2 and ok(0):
+            return P(axis, None)
+        return P()
+    elif mod == "to_q":
+        # Attention_LR (models/attention_lr.py): per-head query projection
+        # — column split over the head·dim_head inner dim; the shared
+        # single-head k/v (to_kv, null_kv) stay replicated (Megatron
+        # multi-query-attention sharding)
+        if leaf == "kernel" and len(shape) == 2 and ok(1):
+            return P(None, axis)
+    elif mod == "to_out":
         if leaf == "kernel" and len(shape) == 2 and ok(0):
             return P(axis, None)
         return P()

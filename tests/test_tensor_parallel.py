@@ -184,6 +184,61 @@ class TestNumerics:
                           jax.tree.leaves(got)):
             np.testing.assert_allclose(pa, pb, rtol=2e-4, atol=1e-6)
 
+    def test_tp_unetca_matches_single_device(self):
+        """The cross-attention family: to_q column / to_out row sharding
+        (shared kv replicated) must also be placement-only."""
+        from sgdm_tpu.models import UNetCAModel
+
+        model = UNetCAModel(
+            model_channels=32, out_channels=3, num_res_blocks=1,
+            channel_mult=(1, 2), attention_resolutions=(2,), num_heads=4,
+            cond_dim=16, cond_token_num=1,
+        )
+        diffusion = GaussianDiffusion(num_timesteps=50)
+        tx = create_optimizer("adamw", lr=1e-3, scheduler=None)
+        b = 8
+        batch = {
+            "image": jax.random.normal(jax.random.PRNGKey(3), (b, 16, 16, 3)),
+            "cond": jax.nn.one_hot(jnp.arange(b) % 16, 16),
+        }
+
+        def fresh():
+            return create_train_state(
+                model, tx, jax.random.PRNGKey(0), batch,
+                {"cond": batch["cond"]})
+
+        step_single = make_train_step(model, diffusion, tx,
+                                      cond_drop_prob=0.0)
+        s_a, m_a = step_single(fresh(), batch, jax.random.PRNGKey(1))
+        ref_params = jax.device_get(s_a.params)
+
+        mesh = _tp_mesh(data=2, tp=4)
+        state0 = fresh()
+        specs = unet_param_pspecs(state0.params, axis_size=4)
+        flat = {
+            "/".join(str(k.key) for k in path): spec
+            for path, spec in jax.tree_util.tree_flatten_with_path(
+                specs, is_leaf=lambda x: isinstance(x, P))[0]
+        }
+        qs = [k for k in flat if k.endswith("to_q/kernel")]
+        assert qs and all(flat[k] == P(None, "model") for k in qs)
+        outs = [k for k in flat if k.endswith("to_out/kernel")]
+        assert outs and all(flat[k] == P("model", None) for k in outs)
+        kvs = [k for k in flat if k.endswith("to_kv/kernel")
+               or k.endswith("null_kv")]
+        assert kvs and all(flat[k] == P() for k in kvs)
+
+        sh = state_sharding(state0, mesh)
+        step_tp = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                                  mesh=mesh, state_shardings=sh)
+        s_b, m_b = step_tp(shard_train_state(state0, mesh),
+                           shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-4)
+        for pa, pb in zip(jax.tree.leaves(ref_params),
+                          jax.tree.leaves(jax.device_get(s_b.params))):
+            np.testing.assert_allclose(pa, pb, rtol=2e-4, atol=1e-6)
+
     def test_tp_ema_and_moments_match(self):
         model, diffusion, tx, state0, batch = _setup()
         step_single = make_train_step(model, diffusion, tx,
