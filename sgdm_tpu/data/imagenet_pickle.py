@@ -185,3 +185,31 @@ class ImageNetPickle:
         }
         out.update(self.cond.get(index))
         return out
+
+    def get_batch(self, indices: np.ndarray) -> dict:
+        """Batch-level fast path, picked up by `data.loader.DataLoader`:
+        ONE native call (native/batchgather.cpp, OpenMP over samples,
+        GIL released) for gather + CHW→HWC + normalize + collate —
+        bitwise-identical to collating `__getitem__` (the torch-worker-
+        pool data plane of the reference, pl_datamodule/dm.py:34).
+
+        Falls back to the per-sample path when the rows aren't an
+        in-memory uint8 array (h5-backed) or a per-sample PIL resize is
+        configured (size4cluster)."""
+        need_resize = self.size4cluster and self.size4cluster != self.size
+        if not isinstance(self.data, np.ndarray) or need_resize:
+            from .loader import _collate
+
+            return _collate([self[int(i)] for i in indices])
+        from ..native import gather_image_batch
+
+        idx = np.asarray(indices, dtype=np.int64)
+        images, img_u8 = gather_image_batch(
+            self.data, idx, self.size, layout="chw")
+        out = {"image": images, "img4unsup": img_u8,
+               "id": idx.astype(np.int64)}
+        conds = [self.cond.get(int(i)) for i in idx]
+        if conds and conds[0]:
+            for key in conds[0]:
+                out[key] = np.stack([np.asarray(c[key]) for c in conds], 0)
+        return out

@@ -100,7 +100,16 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        # datasets exposing `get_batch` (e.g. ImageNetPickle's native
+        # batchgather path) assemble the whole batch in one call — C++
+        # OpenMP over samples with the GIL released — instead of the
+        # per-sample Python map+collate
+        batch_level = (hasattr(self.dataset, "get_batch")
+                       and self.collate_fn is _collate)
+
         def load_batch(batch_idx: np.ndarray) -> dict[str, np.ndarray]:
+            if batch_level:
+                return self.dataset.get_batch(batch_idx)
             samples = list(pool.map(self.dataset.__getitem__, batch_idx.tolist()))
             return self.collate_fn(samples)
 

@@ -12,19 +12,21 @@ from pathlib import Path
 
 import numpy as np
 
-__all__ = ["dense_crf", "permutohedral_filter", "load_densecrf"]
+__all__ = ["dense_crf", "permutohedral_filter", "load_densecrf",
+           "load_batchgather", "gather_image_batch", "gather_rows"]
 
 _HERE = Path(__file__).parent
 _LIB: ctypes.CDLL | None = None
+_GATHER: ctypes.CDLL | None = None
 
 
-def _build() -> Path:
-    so = _HERE / "libdensecrf.so"
-    src = _HERE / "densecrf.cpp"
+def _build(stem: str = "densecrf", extra: tuple[str, ...] = ()) -> Path:
+    so = _HERE / f"lib{stem}.so"
+    src = _HERE / f"{stem}.cpp"
     if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
         return so
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", str(so), str(src)]
+           *extra, "-o", str(so), str(src)]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
     return so
 
@@ -78,6 +80,66 @@ def dense_crf(
         pos_w, pos_xy_std, bi_w, bi_xy_std, bi_rgb_std,
         out.reshape(C, -1),
     )
+    return out
+
+
+def load_batchgather() -> ctypes.CDLL:
+    """The native batch-assembly engine (batchgather.cpp) — the torch-
+    DataLoader-worker-pool equivalent of the data plane (reference:
+    dataset/imagenet_pickle.py via torch's C++ workers)."""
+    global _GATHER
+    if _GATHER is None:
+        so = _build("batchgather", extra=("-fopenmp",))
+        lib = ctypes.CDLL(str(so))
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        c64 = ctypes.c_int64
+        for name in ("gather_chw_to_nhwc", "gather_hwc_to_nhwc"):
+            fn = getattr(lib, name)
+            fn.argtypes = [u8p, i64p, c64, c64, f32p, ctypes.c_void_p]
+            fn.restype = None
+        lib.gather_rows_f32.argtypes = [f32p, i64p, c64, c64, f32p]
+        lib.gather_rows_f32.restype = None
+        lib.gather_vals_i64.argtypes = [i64p, i64p, c64, i64p]
+        lib.gather_vals_i64.restype = None
+        _GATHER = lib
+    return _GATHER
+
+
+def gather_image_batch(
+    data: np.ndarray,            # [N, 3*S*S] uint8 (CHW rows) or [N,S,S,3]
+    indices: np.ndarray,         # [B] int
+    size: int,
+    layout: str = "chw",
+    want_uint8: bool = True,
+) -> tuple[np.ndarray, np.ndarray | None]:
+    """One native call: gather rows, CHW→HWC, normalize to f32 [-1,1]
+    (bitwise-identical to `img.astype(f32)/255*2-1`), optional raw uint8
+    copy.  Returns (images [B,S,S,3] f32, img_u8 [B,S,S,3] | None)."""
+    lib = load_batchgather()
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    b = len(idx)
+    flat = data.reshape(len(data), -1)
+    assert flat.shape[1] == 3 * size * size, (flat.shape, size)
+    if not flat.flags["C_CONTIGUOUS"]:
+        flat = np.ascontiguousarray(flat)
+    out = np.empty((b, size, size, 3), dtype=np.float32)
+    u8 = np.empty((b, size, size, 3), dtype=np.uint8) if want_uint8 else None
+    fn = (lib.gather_chw_to_nhwc if layout == "chw"
+          else lib.gather_hwc_to_nhwc)
+    fn(flat, idx, b, size, out,
+       u8.ctypes.data_as(ctypes.c_void_p) if u8 is not None else None)
+    return out, u8
+
+
+def gather_rows(rows: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Native f32 row gather ([N,D] → [B,D])."""
+    lib = load_batchgather()
+    idx = np.ascontiguousarray(indices, dtype=np.int64)
+    rows = np.ascontiguousarray(rows, dtype=np.float32)
+    out = np.empty((len(idx), rows.shape[1]), dtype=np.float32)
+    lib.gather_rows_f32(rows, idx, len(idx), rows.shape[1], out)
     return out
 
 
