@@ -197,15 +197,22 @@ class ImageNetPickle:
         in-memory uint8 array (h5-backed) or a per-sample PIL resize is
         configured (size4cluster)."""
         need_resize = self.size4cluster and self.size4cluster != self.size
-        if not isinstance(self.data, np.ndarray) or need_resize:
+        if need_resize:
             from .loader import _collate
 
             return _collate([self[int(i)] for i in indices])
         from ..native import gather_image_batch
 
         idx = np.asarray(indices, dtype=np.int64)
+        if isinstance(self.data, np.ndarray):
+            rows, row_idx = self.data, idx
+        else:
+            # h5-backed (the in64 pack): one bulk read — h5py wants
+            # sorted unique indices, so read those and index back
+            uniq, inverse = np.unique(idx, return_inverse=True)
+            rows, row_idx = self.data[uniq], inverse.astype(np.int64)
         images, img_u8 = gather_image_batch(
-            self.data, idx, self.size, layout="chw")
+            rows, row_idx, self.size, layout="chw")
         out = {"image": images, "img4unsup": img_u8,
                "id": idx.astype(np.int64)}
         conds = [self.cond.get(int(i)) for i in idx]

@@ -73,6 +73,30 @@ class TestDatasetBatchPath:
             assert np.array_equal(np.asarray(native[k]),
                                   np.asarray(ref[k])), k
 
+    def test_get_batch_h5_backed(self, pickle_ds, tmp_path):
+        """The in64-style h5 pack path: bulk sorted-unique h5 read +
+        native transform must equal per-sample (duplicates included)."""
+        h5py = pytest.importorskip("h5py")
+        root = tmp_path / "h5root" / "size64"
+        root.mkdir(parents=True)
+        # build a fake 'in64pickle.h5' at size 32 data: reuse rows
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, (30, 3 * 64 * 64), dtype=np.uint8)
+        labels = rng.integers(0, 2, 30)
+        with h5py.File(root / "in64pickle.h5", "w") as f:
+            f.create_dataset("data_train", data=data)
+            f.create_dataset("labels_train", data=labels)  # packs are 0-based
+        ds = ImageNetPickle(root=str(tmp_path / "h5root"), train=True,
+                            image_size=64, num_classes=2,
+                            condition_method="label")
+        assert not isinstance(ds.data, np.ndarray)
+        idx = np.asarray([5, 2, 5, 17, 0, 2])   # duplicates on purpose
+        native = ds.get_batch(idx)
+        ref = _collate([ds[int(i)] for i in idx])
+        for k in ref:
+            assert np.array_equal(np.asarray(native[k]),
+                                  np.asarray(ref[k])), k
+
     def test_loader_uses_batch_level_and_matches(self, pickle_ds):
         a = list(DataLoader(pickle_ds, batch_size=4, shuffle=True,
                             seed=5, num_workers=2))
