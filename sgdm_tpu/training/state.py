@@ -253,10 +253,15 @@ def make_eval_step(
     diffusion: GaussianDiffusion,
     *,
     mesh: Mesh | None = None,
+    params_sharding: Any | None = None,
 ) -> Callable:
     """Validation loss (no grad, cond never dropped at eval-loss time —
     parity with shared_step under `training=False` which forces drop=1.0 in
-    the conditioning glue; the caller passes the drop prob it wants)."""
+    the conditioning glue; the caller passes the drop prob it wants).
+
+    ``params_sharding``: NamedSharding tree for the params argument
+    (tensor-parallel runs pass their param shardings so eval reuses the
+    sharded layout instead of all-gathering every call)."""
 
     def eval_step(params, batch, rng, cond_drop_prob=1.0):
         cond_kwargs = {
@@ -275,10 +280,11 @@ def make_eval_step(
         return jax.jit(eval_step, static_argnames=("cond_drop_prob",))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
+    p_sh = params_sharding if params_sharding is not None else repl
     return jax.jit(
         eval_step,
         static_argnames=("cond_drop_prob",),
-        in_shardings=(repl, data, repl),
+        in_shardings=(p_sh, data, repl),
         out_shardings=repl,
     )
 

@@ -327,6 +327,8 @@ class SelfGuidedDiffusionTrainer:
             return
         self._eval_step = self._eval_step or make_eval_step(
             self.model, self.diffusion, mesh=self.mesh,
+            params_sharding=(self._state_shardings.params
+                             if self._state_shardings is not None else None),
         )
         pl_trainer = (to_container(self.hparams.get("pl") or {}).get("trainer") or {})
         limit_val = pl_trainer.get("limit_val_batches", 8)
