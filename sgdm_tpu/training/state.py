@@ -123,7 +123,11 @@ def make_train_step(
     fused_update = None
     if fused_optim:
         # one Pallas pass for AdamW + EMA (exact optax/LitEma math; see
-        # ops/pallas/fused_optim.py) — opt-in, measured in BASELINE.md
+        # ops/pallas/fused_optim.py) — opt-in, measured in BASELINE.md.
+        # Incompatible with tensor-parallel state shardings: pallas_call
+        # is a per-device program GSPMD cannot partition.
+        assert state_shardings is None, (
+            "fused_optim cannot run under tensor-parallel shardings")
         from ..ops.pallas.fused_optim import make_fused_adamw_ema
 
         hp = dict(optim_hparams or {})
