@@ -90,7 +90,7 @@ def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
 
 
 def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
-               num_steps=50, reps=2):
+               num_steps=50, reps=2, param_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +101,7 @@ def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
     )
     sample = make_sample_fn(
         model, diffusion, sampling_method="ddim", num_steps=num_steps,
-        cond_scale=2.0,
+        cond_scale=2.0, param_dtype=param_dtype,
     )
     cond = batch["cond"]
     out, _ = sample(state.ema_params, jax.random.PRNGKey(0),

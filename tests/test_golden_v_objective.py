@@ -28,10 +28,22 @@ def ref():
     sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
     sys.modules["torchvision.transforms"].functional = \
         sys.modules["torchvision.transforms.functional"]
+    # other golden tests import the reference's TOP-LEVEL `diffusion`
+    # package; the vendored v_diffusion package has the same name, so the
+    # cached entries must be stashed or this import silently resolves to
+    # the wrong tree (full-suite-only failure; standalone always passed)
+    stashed = {k: sys.modules.pop(k) for k in list(sys.modules)
+               if k == "diffusion" or k.startswith("diffusion.")}
     sys.path.insert(0, "/root/reference/diffusion/sampler/v_diffusion")
-    from diffusion import sampling, utils
-    yield sampling, utils
-    sys.path.remove("/root/reference/diffusion/sampler/v_diffusion")
+    try:
+        from diffusion import sampling, utils
+        yield sampling, utils
+    finally:
+        sys.path.remove("/root/reference/diffusion/sampler/v_diffusion")
+        for k in list(sys.modules):
+            if k == "diffusion" or k.startswith("diffusion."):
+                del sys.modules[k]
+        sys.modules.update(stashed)
 
 
 def _torch_model(x, t, **kw):
