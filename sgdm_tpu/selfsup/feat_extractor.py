@@ -90,6 +90,36 @@ def extract_feat(
             dl = DataLoader(ds, batch_size=batch_size, shuffle=False,
                             drop_last=False)
             i = 0
+
+            def _commit(start, feat_np, batch):
+                """Write one batch's rows (feats + labels + name map)."""
+                b = len(feat_np)
+                feats[start:start + b] = feat_np
+                if labels is not None:
+                    lab = batch.get("label_id")
+                    if lab is None:
+                        lab = np.argmax(batch["label"], axis=-1)
+                    labels[start:start + b] = lab
+                for j in range(b):
+                    idx = int(batch["id"][j])
+                    name = (
+                        ds.id2name(idx) if hasattr(ds, "id2name")
+                        else f"{idx}.jpg"
+                    )
+                    id2name[idx] = name
+                return b
+
+            # plain CLS extraction runs one batch deep: the encode for
+            # batch k is dispatched asynchronously, and batch k-1's result
+            # is converted + written to h5 while the device computes —
+            # loader/h5/host time hides behind device time
+            from .ssl_backbone import SSLBackbone
+
+            pending = None  # (start_idx, device_feat, batch)
+            can_pipeline = (
+                crops != 10 and not spatial and attn_ds is None
+                and isinstance(backbone, SSLBackbone)
+            )
             for batch in dl:
                 imgs = batch["img4unsup"]
                 if crops == 10:
@@ -101,31 +131,34 @@ def extract_feat(
                     feat = backbone.batch_encode_feat(
                         backbone.transform_batch(flat)
                     ).reshape(b_, c_, -1)
+                    x = None
                 elif spatial:
                     x = backbone.transform_batch(imgs)
                     feat = backbone.batch_encode_tokens(x, resampled_size)
                 else:
                     x = backbone.transform_batch(imgs)
+                    if can_pipeline:
+                        dev = backbone.batch_encode_feat(x, as_numpy=False)
+                        if pending is not None:
+                            s0, d0, b0 = pending
+                            _commit(s0, np.asarray(d0), b0)
+                        pending = (i, dev, batch)
+                        i += len(imgs)
+                        if i % (batch_size * 50) == 0:
+                            logger.info(f"{split}: {i}/{n}")
+                        continue
                     feat = backbone.batch_encode_feat(x)
                 if attn_ds is not None:
-                    x = backbone.transform_batch(imgs)
-                    attn_ds[i:i + len(imgs)] = backbone.batch_encode_cls_attention(x)
-                b = len(feat)
-                feats[i:i + b] = feat
-                if labels is not None:
-                    lab = batch.get("label_id")
-                    if lab is None:
-                        lab = np.argmax(batch["label"], axis=-1)
-                    labels[i:i + b] = lab
-                for j in range(b):
-                    idx = int(batch["id"][j])
-                    name = (
-                        ds.id2name(idx) if hasattr(ds, "id2name") else f"{idx}.jpg"
-                    )
-                    id2name[idx] = name
-                i += b
+                    if x is None:
+                        x = backbone.transform_batch(imgs)
+                    attn_ds[i:i + len(imgs)] = (
+                        backbone.batch_encode_cls_attention(x))
+                i += _commit(i, feat, batch)
                 if i % (batch_size * 50) == 0:
                     logger.info(f"{split}: {i}/{n}")
+            if pending is not None:
+                s0, d0, b0 = pending
+                _commit(s0, np.asarray(d0), b0)
             assert i == n, (i, n)
 
         attrs = f.create_dataset("all_attributes", (1,))

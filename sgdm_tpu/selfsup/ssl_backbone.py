@@ -50,40 +50,64 @@ class SSLBackbone:
         self.feat_dim = model.embed_dim if self._is_vit else model.feat_dim
         is_vit = self._is_vit
 
+        # outputs are always f32 — the feat h5 contract and every consumer
+        # (k-means, kNN, probes) expect f32 even when the backbone computes
+        # in bfloat16
         @jax.jit
         def _encode(params, x):
             if is_vit:
-                return model.apply({"params": params}, x, out="cls")
-            return model.apply({"params": params}, x)
+                out = model.apply({"params": params}, x, out="cls")
+            else:
+                out = model.apply({"params": params}, x)
+            return out.astype(jnp.float32)
 
         @jax.jit
         def _encode_tokens(params, x):
-            return model.apply({"params": params}, x, out="tokens")
+            return model.apply(
+                {"params": params}, x, out="tokens").astype(jnp.float32)
 
         @jax.jit
         def _encode_attn(params, x):
-            return model.apply({"params": params}, x, out="attn_last")
+            return model.apply(
+                {"params": params}, x, out="attn_last").astype(jnp.float32)
+
+        size = image_size
+
+        # one jitted program per input shape — the eager version costs a
+        # per-op dispatch over the device transport (~4 ms each on the
+        # remote-TPU tunnel), which is material at extraction throughput
+        @jax.jit
+        def _transform(imgs_uint8):
+            x = imgs_uint8.astype(jnp.float32) / 255.0
+            if x.shape[1] != size:
+                x = jax.image.resize(
+                    x, (x.shape[0], size, size, x.shape[3]),
+                    method="bilinear",
+                )
+            return (x - IMAGENET_MEAN) / IMAGENET_STD
 
         self._encode = _encode
         self._encode_tokens = _encode_tokens
         self._encode_attn = _encode_attn
+        self._transform = _transform
 
     def transform_batch(self, imgs_uint8: np.ndarray) -> jnp.ndarray:
         """uint8 [B,H,W,3] → resized 224 + imagenet-normalized float32.
 
         Parity: ssl_backbone.py transform_batch (resize 224 + norm).
         """
-        x = jnp.asarray(imgs_uint8, dtype=jnp.float32) / 255.0
-        if x.shape[1] != self.image_size:
-            x = jax.image.resize(
-                x, (x.shape[0], self.image_size, self.image_size, x.shape[3]),
-                method="bilinear",
-            )
-        return (x - IMAGENET_MEAN) / IMAGENET_STD
+        return self._transform(jnp.asarray(imgs_uint8))
 
-    def batch_encode_feat(self, batch: jnp.ndarray) -> np.ndarray:
-        """CLS-token features [B, feat_dim]."""
-        return np.asarray(self._encode(self.params, batch))
+    def batch_encode_feat(self, batch: jnp.ndarray, *,
+                          as_numpy: bool = True) -> np.ndarray | jax.Array:
+        """CLS-token features [B, feat_dim].
+
+        ``as_numpy=False`` returns the (asynchronously dispatched) device
+        array without blocking — callers can overlap host-side work (h5
+        writes, the next batch's data loading) with device compute and
+        convert later (`selfsup/feat_extractor.py`)."""
+        out = self._encode(self.params, batch)
+        return np.asarray(out) if as_numpy else out
 
     def batch_encode_tokens(self, batch: jnp.ndarray,
                             resampled_size: int = 14) -> np.ndarray:
@@ -201,11 +225,25 @@ def _timm_backbone(name: str, image_size: int) -> _TimmBackbone:
 def get_ssl_backbone(
     name: str = "dino_vitb16", image_size: int = 224,
     ckpt_path: str | None = None, seed: int = 0,
+    compute_dtype: str | None = None,
 ) -> SSLBackbone:
     """Parity: self_sl/ssl_backbone.py:373 get_ssl_backbone (DINO family;
     MAE/MSN/SimCLR load through the same ViT port when checkpoints exist).
     A `.msgpack` ckpt_path loads a natively pre-trained encoder (our MSN/MAE
-    trainers) with its architecture taken from the sidecar meta json."""
+    trainers) with its architecture taken from the sidecar meta json.
+
+    ``compute_dtype``: matmul dtype for the ViT backbones (default float32;
+    env ``SGDM_FEAT_DTYPE`` overrides).  float32 is both the reference-
+    parity choice (torch runs the extractors in fp32) and the MEASURED
+    fastest on the v5e bench chip at every batch size (e.g. bs256:
+    842 vs 723 imgs/s) — extraction throughput is dispatch/host-bound, not
+    MXU-bound, and bfloat16 only adds cast/relayout traffic around the
+    always-f32 softmax/LayerNorm islands (models/vit.py).  The knob stays
+    for MXU-richer targets; features come back f32 either way."""
+    compute_dtype = compute_dtype or os.environ.get(
+        "SGDM_FEAT_DTYPE") or "float32"
+    vit_dtype = jnp.bfloat16 if str(compute_dtype) in (
+        "bf16", "bfloat16") else jnp.float32
     if ckpt_path and str(ckpt_path).endswith(".msgpack"):
         return _load_native_backbone(name, ckpt_path, image_size)
     if name.startswith(("xcit", "dino_xcit")):
@@ -232,13 +270,13 @@ def get_ssl_backbone(
     from ..models.resnet import ResNet50, load_simclr_torch_weights
 
     builders = {
-        "dino_vits16": lambda: vit_small(16),
-        "dino_vits8": lambda: vit_small(8),
-        "dino_vitb16": lambda: vit_base(16),
-        "dino_vitb8": lambda: vit_base(8),
-        "mae_vitb16": lambda: vit_base(16),
-        "msn_vits16": lambda: vit_small(16),
-        "msn_vitb16": lambda: vit_base(16),
+        "dino_vits16": lambda: vit_small(16, dtype=vit_dtype),
+        "dino_vits8": lambda: vit_small(8, dtype=vit_dtype),
+        "dino_vitb16": lambda: vit_base(16, dtype=vit_dtype),
+        "dino_vitb8": lambda: vit_base(8, dtype=vit_dtype),
+        "mae_vitb16": lambda: vit_base(16, dtype=vit_dtype),
+        "msn_vits16": lambda: vit_small(16, dtype=vit_dtype),
+        "msn_vitb16": lambda: vit_base(16, dtype=vit_dtype),
         # the pl_bolts SimCLR ResNet-50 encoder — the KNN-eval embedder
         # (self_sl/simclr_related.py:26-44)
         "simclr_rn50": ResNet50,

@@ -46,3 +46,25 @@ def test_ds_vis_params_by_dataset_name():
     assert _ds_vis_params(32, "mystery") == (18, 1)
     assert _ds_vis_params(64, "") == (9, 2)
     assert _ds_vis_params(128, "") == (11, 5)
+
+
+def test_feat_compute_dtype_knob():
+    """compute_dtype override wins over the f32 default, and bf16 features
+    stay cosine-close to f32 (softmax/LN are f32)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
+
+    bk32 = get_ssl_backbone("dino_vits16", compute_dtype="float32", seed=1)
+    bk16 = get_ssl_backbone("dino_vits16", compute_dtype="bfloat16", seed=1)
+    assert bk32.model.dtype == jnp.float32
+    assert bk16.model.dtype == jnp.bfloat16
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    f32 = bk32.batch_encode_feat(bk32.transform_batch(imgs))
+    f16 = bk16.batch_encode_feat(bk16.transform_batch(imgs))
+    assert f16.dtype == np.float32  # features come back f32 either way
+    cos = (f32 * f16).sum(-1) / (
+        np.linalg.norm(f32, axis=-1) * np.linalg.norm(f16, axis=-1))
+    assert cos.min() > 0.99, cos
