@@ -70,15 +70,26 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    drop_path: float = 0.0  # stochastic depth (timm DropPath; finetune only)
+
+    def _drop_path(self, y, deterministic):
+        if self.drop_path == 0.0 or deterministic:
+            return y
+        keep = 1.0 - self.drop_path
+        mask = jax.random.bernoulli(
+            self.make_rng("drop_path"), keep, (y.shape[0], 1, 1))
+        return y * mask.astype(y.dtype) / keep
 
     @nn.compact
-    def __call__(self, x, return_qkv: bool = False):
+    def __call__(self, x, return_qkv: bool = False,
+                 deterministic: bool = True):
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         y, qkv = Attention(self.num_heads, self.dtype, name="attn")(y, return_qkv)
-        x = x + y
+        x = x + self._drop_path(y, deterministic)
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         c = x.shape[-1]
-        x = x + Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(y)
+        y = Mlp(int(c * self.mlp_ratio), c, self.dtype, name="mlp")(y)
+        x = x + self._drop_path(y, deterministic)
         return x, qkv
 
 
@@ -104,12 +115,20 @@ class VisionTransformer(nn.Module):
     mlp_ratio: float = 4.0
     pretrain_img_size: int = 224  # grid the pos_embed param is stored at
     dtype: Any = jnp.float32
+    # linearly-ramped stochastic depth across blocks (timm dpr = linspace);
+    # 0.0 (default) is exactly the original network — used by MAE finetuning
+    # (self_sl/mae/main_finetune.py:57 --drop_path)
+    drop_path_rate: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array, out: str = "cls",
-                 patch_keep_ids: jax.Array | None = None):
+                 patch_keep_ids: jax.Array | None = None,
+                 deterministic: bool = True):
         """x: [B,H,W,3] normalized (imagenet stats).  out ∈ {cls, tokens,
-        qkv_last, attn_last}.  ``patch_keep_ids`` [B, n_keep] selects a
+        tokens_pair, qkv_last, attn_last}; ``tokens_pair`` returns
+        (pre-final-norm tokens, normed tokens) — the MAE finetune
+        global-pool head pools PRE-norm patch tokens (models_vit.py
+        global_pool branch).  ``patch_keep_ids`` [B, n_keep] selects a
         subset of patch tokens to process (MSN anchor patch_drop,
         self_sl/msn/src/deit.py forward patch_drop)."""
         b, hh, ww, _ = x.shape
@@ -141,16 +160,21 @@ class VisionTransformer(nn.Module):
         qkv_last = None
         for i in range(self.depth):
             want_qkv = (i == self.depth - 1) and out in ("qkv_last", "attn_last")
+            dp = (self.drop_path_rate * i / max(self.depth - 1, 1))
             x, qkv = Block(self.num_heads, self.mlp_ratio, self.dtype,
-                           name=f"blocks_{i}")(x, return_qkv=want_qkv)
+                           drop_path=dp, name=f"blocks_{i}")(
+                x, return_qkv=want_qkv, deterministic=deterministic)
             if qkv is not None:
                 qkv_last = qkv
+        pre_norm = x
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(x)
 
         if out == "cls":
             return x[:, 0]
         if out == "tokens":
             return x
+        if out == "tokens_pair":
+            return pre_norm, x
         if out == "qkv_last":
             q, k, v, _ = qkv_last
             return x, (q, k, v)
