@@ -118,7 +118,7 @@ def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
     return steps_per_sec, imgs_per_sec
 
 
-def bench_feat(batch_size=256, image_size=64, reps=3, name="dino_vitb16"):
+def bench_feat(batch_size=256, image_size=64, reps=5, name="dino_vitb16"):
     """SSL feature extraction imgs/sec (BASELINE.json target metric):
     uint8 batch → resize 224 + imagenet-norm → ViT CLS features.
 
