@@ -40,11 +40,21 @@ class CheckpointManager:
 
     # ------------------------------------------------------------------
     def save_last(self, state, epoch: int) -> Path:
+        """Async save of the rolling 'last' checkpoint.
+
+        orbax's StandardCheckpointer is an AsyncCheckpointer: `save`
+        returns once the arrays are staged to host and the file commit
+        runs in a background thread — the next epoch trains under the
+        write (donated device buffers are safe, staging happened).  The
+        commit is atomic (tmp dir renamed at finalize), so a crash
+        mid-write leaves no half 'last'.  Call `wait_until_finished()`
+        (the trainer does at fit end) before relying on the file.
+        """
+        self._ckpt.wait_until_finished()  # previous async save, if any
         path = self.dir / "last"
         if path.exists():
             shutil.rmtree(path)
         self._ckpt.save(path, state)
-        self._ckpt.wait_until_finished()
         self.meta["last_path"] = str(path)
         self.meta["last_epoch"] = epoch
         self._flush()
@@ -52,10 +62,13 @@ class CheckpointManager:
 
     def save_best_if_improved(self, state, epoch: int, score: float) -> Path | None:
         """Keep the best (lowest) `monitor` checkpoint; filename embeds
-        epoch+score like the reference's `epoch_{epoch:06}-fid_{...}`."""
+        epoch+score like the reference's `epoch_{epoch:06}-fid_{...}`.
+        Blocking (rare event): the old best is only deleted once the new
+        one is durable."""
         best = self.meta.get("best_score")
         if best is not None and score >= best:
             return None
+        self._ckpt.wait_until_finished()
         path = self.dir / f"epoch_{epoch:06d}-fid_{score:.3f}"
         self._ckpt.save(path, state)
         self._ckpt.wait_until_finished()
@@ -70,6 +83,7 @@ class CheckpointManager:
     # ------------------------------------------------------------------
     def restore(self, state_template, path: str | Path | None = None):
         """Restore a TrainState (shape/dtype/sharding template for orbax)."""
+        self._ckpt.wait_until_finished()  # drain any in-flight async save
         path = Path(path) if path else Path(self.meta["last_path"])
 
         def abstract(x):
@@ -84,7 +98,12 @@ class CheckpointManager:
     def _flush(self) -> None:
         self._meta_path.write_text(json.dumps(self.meta, indent=2))
 
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed."""
+        self._ckpt.wait_until_finished()
+
     @property
     def has_checkpoint(self) -> bool:
+        self._ckpt.wait_until_finished()
         p = self.meta.get("last_path")
         return bool(p and Path(p).exists())

@@ -55,12 +55,17 @@ def create_optimizer(
     eps: float = 1e-8,
     scheduler: Mapping[str, Any] | None = "default",
     grad_clip: float | None = None,
+    mu_dtype: str | None = None,
 ) -> optax.GradientTransformation:
     """Adam/AdamW with the reference warmup schedule.
 
     ``scheduler``: None → constant lr; "default" or a params dict → the
     LambdaLinearScheduler with those params (config/optim/adamw.yaml).
     ``grad_clip`` is an extension (the reference never clips); None = off.
+    ``mu_dtype``: dtype for the first Adam moment (e.g. "bfloat16") — an
+    HBM-traffic/memory knob (halves the μ stream of the weight-update
+    fusions); None keeps the reference-parity f32. The ν moment stays f32
+    (its rsqrt is precision-sensitive and optax exposes no nu_dtype).
     """
     if scheduler is None:
         lr_schedule: Any = lr
@@ -68,15 +73,18 @@ def create_optimizer(
         params = {} if scheduler == "default" else dict(scheduler)
         lr_schedule = lambda_linear_schedule(lr, **params)
 
+    mu = jnp.dtype(mu_dtype) if mu_dtype else None
     if name == "adamw":
-        tx = optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=wd)
+        tx = optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps,
+                         weight_decay=wd, mu_dtype=mu)
     elif name == "adam":
         # torch Adam applies L2 via weight_decay inside the update; optax's
         # additive `add_decayed_weights` before adam matches torch semantics.
         chain = []
         if wd:
             chain.append(optax.add_decayed_weights(wd))
-        chain.append(optax.adam(lr_schedule, b1=beta1, b2=beta2, eps=eps))
+        chain.append(optax.adam(lr_schedule, b1=beta1, b2=beta2, eps=eps,
+                                mu_dtype=mu))
         tx = optax.chain(*chain)
     else:
         raise ValueError(name)

@@ -93,6 +93,9 @@ class SelfGuidedDiffusionTrainer:
         # N must divide the device count, model_channels, and (for
         # collective-free GroupNorm) the 32 GN groups
         self.tensor_parallel = int(trainer_cfg.get("tensor_parallel", 1))
+        # fsdp=true shards params + Adam moments + EMA over the 'data'
+        # axis (ZeRO-3; parallel/fsdp.py) — composes with tensor_parallel
+        self.fsdp = bool(trainer_cfg.get("fsdp", False))
         if strategy == "data_parallel":
             import os
 
@@ -116,6 +119,12 @@ class SelfGuidedDiffusionTrainer:
                     )
             else:
                 self.mesh = create_mesh(devices)
+            if self.fsdp and getattr(self.model, "use_pallas", False):
+                logger.warning(
+                    "fsdp=true requires the XLA conv path — Pallas kernels "
+                    "are per-device programs GSPMD cannot partition over "
+                    "sharded params; set dynamic.params.use_pallas=false"
+                )
         else:
             self.mesh = None
         self.state: TrainState | None = None
@@ -165,10 +174,14 @@ class SelfGuidedDiffusionTrainer:
             {k: v for k, v in cond_kwargs.items() if v is not None},
         )
         if self.mesh is not None:
-            from ..parallel.tp import state_sharding
-
-            # 1-D mesh → fully replicated (DDP semantics); 2-D mesh →
-            # tensor-parallel param/opt-state shardings over 'model'
+            if self.fsdp:
+                # ZeRO-3: params/moments/EMA sharded over 'data' (and
+                # composed with the TP specs when the mesh is 2-D)
+                from ..parallel.fsdp import state_sharding
+            else:
+                # 1-D mesh → fully replicated (DDP semantics); 2-D mesh →
+                # tensor-parallel param/opt-state shardings over 'model'
+                from ..parallel.tp import state_sharding
             self._state_shardings = state_sharding(self.state, self.mesh)
             self.state = jax.device_put(self.state, self._state_shardings)
         n_params = sum(p.size for p in jax.tree.leaves(self.state.params))
@@ -315,7 +328,10 @@ class SelfGuidedDiffusionTrainer:
 
             self._run_validation(datamodule, epoch, fid_every_n_epoch, resumed)
             resumed = False
+            # async: the write commits in the background under the next
+            # epoch's training; drained at fit end below
             self.ckpt.save_last(self.state, epoch)
+        self.ckpt.wait_until_finished()
         return self.state
 
     # ------------------------------------------------------------------

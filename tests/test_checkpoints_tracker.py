@@ -47,6 +47,25 @@ class TestCheckpointManager:
         assert "epoch_000001" in cm.meta["best_path"]
         assert "fid_30" in cm.meta["best_path"]
 
+    def test_async_save_last_overlaps_then_drains(self, tmp_path):
+        """save_last is async (commit in a background thread); mutating the
+        live state right after must not corrupt the saved snapshot, and
+        wait_until_finished / restore drain the in-flight write."""
+        cm = CheckpointManager(tmp_path / "ck")
+        s = tiny_state(7.0)
+        cm.save_last(s, epoch=1)
+        # simulate the next train step donating/overwriting the buffers
+        s = tiny_state(-1.0)
+        cm.wait_until_finished()
+        restored = cm.restore(tiny_state(0.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+        # back-to-back saves serialize correctly (wait-at-entry)
+        cm.save_last(tiny_state(8.0), epoch=2)
+        cm.save_last(tiny_state(9.0), epoch=3)
+        restored = cm.restore(tiny_state(0.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 9.0)
+        assert cm.meta["last_epoch"] == 3
+
     def test_meta_persists(self, tmp_path):
         cm = CheckpointManager(tmp_path / "ck")
         cm.save_best_if_improved(tiny_state(1.0), 0, score=10.0)

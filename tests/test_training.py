@@ -154,3 +154,39 @@ class TestResume:
         restored, m = step2(restored, {"image": x}, jax.random.PRNGKey(1))
         assert int(restored.step) == 4
         assert np.isfinite(float(m["loss"]))
+
+
+class TestMuDtype:
+    def test_bf16_first_moment_knob(self):
+        """optim.params.mu_dtype=bfloat16: μ stored in bf16 (traffic/memory
+        knob), ν stays f32, and a step stays close to the f32-μ step."""
+        model = UNetModel(
+            model_channels=16, out_channels=1, num_res_blocks=1,
+            channel_mult=(1, 2), attention_resolutions=(2,), num_heads=2,
+            resblock_updown=True,
+        )
+        diffusion = GaussianDiffusion(num_timesteps=100)
+        batch = {"image": jax.random.normal(jax.random.PRNGKey(3),
+                                            (8, 8, 8, 1))}
+
+        def run(mu_dtype):
+            tx = create_optimizer("adamw", lr=2e-3, scheduler=None,
+                                  mu_dtype=mu_dtype)
+            state = create_train_state(
+                model, tx, jax.random.PRNGKey(0), batch, batch)
+            step = make_train_step(model, diffusion, tx, cond_drop_prob=0.0)
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            return state, float(m["loss"])
+
+        s16, l16 = run("bfloat16")
+        mu_leaf = jax.tree.leaves(s16.opt_state[0].mu)[0]
+        nu_leaf = jax.tree.leaves(s16.opt_state[0].nu)[0]
+        assert mu_leaf.dtype == jnp.bfloat16
+        assert nu_leaf.dtype == jnp.float32
+
+        s32, l32 = run(None)
+        assert jax.tree.leaves(s32.opt_state[0].mu)[0].dtype == jnp.float32
+        np.testing.assert_allclose(l16, l32, rtol=1e-5)  # loss is pre-update
+        for a, b in zip(jax.tree.leaves(s32.params),
+                        jax.tree.leaves(s16.params)):
+            np.testing.assert_allclose(a, b, rtol=0, atol=3e-5)
