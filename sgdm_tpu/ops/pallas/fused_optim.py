@@ -156,8 +156,12 @@ def make_fused_adamw_ema(
 
         new_p, new_mu, new_nu, new_e = [], [], [], []
         for p, g, mu, nu, e in zip(flat_p, flat_g, flat_mu, flat_nu, flat_e):
+            # bf16-μ leaves (optim mu_dtype knob) take the jnp path: its
+            # weak-type `mu * b1` rounds the decay product in bf16 exactly
+            # like optax's update_moment, so parity stays bitwise; the
+            # Pallas kernel is f32-only
             if (use_pallas and p.size >= _MIN_PALLAS and p.size % 1024 == 0
-                    and p.dtype == jnp.float32):
+                    and p.dtype == jnp.float32 and mu.dtype == jnp.float32):
                 po, muo, nuo, eo = _leaf_pallas(
                     p, g, mu, nu, e, scalars,
                     b1=b1, b2=b2, eps=eps, wd=weight_decay,
@@ -166,17 +170,24 @@ def make_fused_adamw_ema(
                 po, muo, nuo, eo = _leaf_jnp(
                     p, g, mu, nu, e, lr, inv_bc1, inv_bc2, one_minus,
                     b1=b1, b2=b2, eps=eps, wd=weight_decay)
-            new_p.append(po)
-            new_mu.append(muo)
-            new_nu.append(nuo)
-            new_e.append(eo)
+            # storage dtypes are preserved (optax tree_cast semantics: a
+            # bf16 μ is stored back as bf16, so the knob composes with
+            # fused_optim without a silent f32 upcast / second-step
+            # retrace)
+            new_p.append(po.astype(p.dtype))
+            new_mu.append(muo.astype(mu.dtype))
+            new_nu.append(nuo.astype(nu.dtype))
+            new_e.append(eo.astype(e.dtype))
 
         unflat = treedef.unflatten
         new_adam = optax.ScaleByAdamState(
             count=count_inc, mu=unflat(new_mu), nu=unflat(new_nu))
+        # `count in _fields`, not hasattr: every optax state is a
+        # namedtuple, so e.g. EmptyState (constant-lr adamw) has the
+        # tuple.count METHOD and hasattr would wrongly pass
         new_sched = type(sched_state)(
             count=optax.safe_int32_increment(sched_state.count)) \
-            if hasattr(sched_state, "count") else sched_state
+            if "count" in getattr(sched_state, "_fields", ()) else sched_state
         new_opt_state = (new_adam, wd_state, new_sched)
         params_out = unflat(new_p)
         ema_out = unflat(new_e) if use_ema else params_out

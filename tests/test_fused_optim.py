@@ -96,6 +96,78 @@ def test_multi_step_parity(mode):
         assert int(got_s[2].count) == int(want_s[2].count)
 
 
+@pytest.mark.parametrize("mode", ["jnp", "pallas_interpret"])
+def test_bf16_mu_dtype_composes(mode):
+    """optim mu_dtype=bfloat16 composes with fused_optim: μ stays bf16
+    (no silent f32 upcast → second-step retrace) and matches optax's
+    compute-in-f32/store-bf16 semantics."""
+    rng = np.random.default_rng(3)
+    params = _params(rng)
+    grads_seq = [jax.tree.map(
+        lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32) * 0.1,
+        params) for _ in range(3)]
+
+    tx = optax.adamw(LR, b1=HP["b1"], b2=HP["b2"], eps=HP["eps"],
+                     weight_decay=HP["weight_decay"], mu_dtype=jnp.bfloat16)
+    want_p = params
+    want_s = tx.init(params)
+    want_e = jax.tree.map(jnp.copy, params)
+    for i in range(3):
+        updates, want_s = tx.update(grads_seq[i], want_s, want_p)
+        want_p = optax.apply_updates(want_p, updates)
+        want_e = ema_update(want_e, want_p, jnp.asarray(i + 1), EMA_DECAY)
+
+    kw = (dict(use_pallas=False) if mode == "jnp"
+          else dict(use_pallas=True, interpret=True))
+    upd = make_fused_adamw_ema(LR, b1=HP["b1"], b2=HP["b2"], eps=HP["eps"],
+                               weight_decay=HP["weight_decay"],
+                               ema_decay=EMA_DECAY, **kw)
+    got_p, got_s = params, tx.init(params)
+    got_e = jax.tree.map(jnp.copy, params)
+    n = jnp.zeros((), jnp.int32)
+    import sgdm_tpu.ops.pallas.fused_optim as fo
+    old = fo._MIN_PALLAS
+    if mode == "pallas_interpret":
+        fo._MIN_PALLAS = 1024
+    try:
+        for i in range(3):
+            got_p, got_s, got_e = upd(grads_seq[i], got_s, got_p, got_e, n)
+            n = n + 1
+    finally:
+        fo._MIN_PALLAS = old
+
+    for leaf in jax.tree.leaves(got_s[0].mu):
+        assert leaf.dtype == jnp.bfloat16
+    _assert_trees_close(got_s[0].mu, want_s[0].mu, rtol=0, atol=0)
+    _assert_trees_close(got_s[0].nu, want_s[0].nu)
+    # bf16 μ rounding feeds back into params — compare against the optax
+    # chain (identical math), tight tolerance
+    _assert_trees_close(got_p, want_p, rtol=1e-5, atol=1e-6)
+    _assert_trees_close(got_e, want_e, rtol=1e-5, atol=1e-6)
+
+
+def test_constant_lr_empty_sched_state():
+    """A constant-lr adamw's schedule state is EmptyState — a namedtuple
+    whose tuple.count METHOD used to fool the hasattr(count) probe and
+    crash the fused update."""
+    rng = np.random.default_rng(4)
+    params = {"w": jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)}
+    g = [{"w": jnp.full((16, 128), 0.25, jnp.float32)}]
+    tx = optax.adamw(1e-3, b1=HP["b1"], b2=HP["b2"], eps=HP["eps"],
+                     weight_decay=HP["weight_decay"])
+    opt_state = tx.init(params)
+    upd = make_fused_adamw_ema(lambda t: 1e-3, b1=HP["b1"], b2=HP["b2"],
+                               eps=HP["eps"],
+                               weight_decay=HP["weight_decay"],
+                               ema_decay=EMA_DECAY, use_pallas=False)
+    ema = jax.tree.map(jnp.copy, params)
+    p2, s2, e2 = upd(g[0], opt_state, params, ema, jnp.zeros((), jnp.int32))
+    updates, want_s = tx.update(g[0], opt_state, params)
+    want_p = optax.apply_updates(params, updates)
+    _assert_trees_close(p2, want_p)
+    assert type(s2[2]) is type(want_s[2])
+
+
 def test_warmup_ema_decay_and_no_ema():
     """Early steps use the (1+n)/(10+n) warmup decay; use_ema=False keeps
     ema ≡ params."""
