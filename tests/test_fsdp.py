@@ -174,6 +174,33 @@ class TestNumerics:
                           jax.tree.leaves(jax.device_get(s_b.params))):
             np.testing.assert_allclose(pa, pb, rtol=2e-4, atol=1e-6)
 
+    def test_fsdp_with_grad_accum_matches_single_device(self):
+        """accumulate_grad_batches scans micro-batches inside the jitted
+        step; with FSDP the grad carry must reduce over 'data' correctly
+        at each micro-step (GSPMD-derived) — compare vs the single-device
+        accumulated step."""
+        model, diffusion, tx, state0, batch = _setup()
+        step_single = make_train_step(model, diffusion, tx,
+                                      cond_drop_prob=0.0,
+                                      accumulate_grad_batches=2)
+        s_a, m_a = step_single(state0, batch, jax.random.PRNGKey(1))
+        ref_params = jax.device_get(s_a.params)
+
+        mesh = create_mesh(cpu_devices())
+        _, _, _, state0b, _ = _setup()
+        sh = state_sharding(state0b, mesh)
+        step_f = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                                 accumulate_grad_batches=2, mesh=mesh,
+                                 state_shardings=sh)
+        s_b, m_b = step_f(shard_train_state(state0b, mesh),
+                          shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                                   rtol=1e-4)
+        assert int(s_b.step) == 1
+        for pa, pb in zip(jax.tree.leaves(ref_params),
+                          jax.tree.leaves(jax.device_get(s_b.params))):
+            np.testing.assert_allclose(pa, pb, rtol=2e-4, atol=1e-6)
+
     def test_fsdp_sampling_matches_replicated(self):
         """FSDP-sharded EMA params sample identically — jit propagates the
         committed input shardings into the scan (GSPMD all-gathers per
