@@ -257,7 +257,18 @@ class SelfGuidedDiffusionTrainer:
 
         profile = bool(self.hparams.get("profile"))
         samples_seen = 0
-        for epoch in range(max_epochs):
+        # Lightning-parity resume: continue from the checkpointed epoch
+        # (derived from the restored optimizer step — one step per loader
+        # batch, grad accum included) toward max_epochs TOTAL, instead of
+        # re-running max_epochs more; keeps the per-epoch shuffle order,
+        # FID cadence and epoch-named best checkpoints aligned with an
+        # uninterrupted run (ref resume: main.py:126-133 → pl
+        # Trainer(ckpt_path=...) restoring the epoch counter).
+        steps_per_epoch = max(1, min(n_batches, max_batches))
+        start_epoch = self.global_step // steps_per_epoch if resumed else 0
+        if resumed and start_epoch:
+            logger.info(f"resuming at epoch {start_epoch}/{max_epochs}")
+        for epoch in range(start_epoch, max_epochs):
             train_dl.set_epoch(epoch)
             t_epoch = time.perf_counter()
             t_last = t_epoch
