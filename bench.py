@@ -179,6 +179,35 @@ def main() -> None:
                         "offload); 'full' remats whole ResBlocks")
     args = p.parse_args()
 
+    # Pre-flight: the axon tunnel can wedge in a way that makes the first
+    # jax device call block forever (observed: backend init hangs, no
+    # error).  Probe it in a subprocess with a hard timeout so a dead
+    # tunnel yields an explicit one-line JSON error instead of a silent
+    # hang of the whole bench run.
+    if not os.environ.get("SGDM_BENCH_NO_PREFLIGHT"):
+        import subprocess
+        import sys
+
+        t_limit = int(os.environ.get("SGDM_BENCH_PREFLIGHT_SEC", "300"))
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices()[0]; print(d.platform)"],
+                timeout=t_limit, capture_output=True, text=True,
+            )
+            ok = probe.returncode == 0
+            detail = (probe.stdout + probe.stderr).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            ok, detail = False, f"device init exceeded {t_limit}s (tunnel down?)"
+        if not ok:
+            print(json.dumps({
+                "metric": "train_samples_per_sec_per_chip_in64",
+                "value": None, "unit": "samples/sec/chip",
+                "vs_baseline": None,
+                "error": f"device backend unavailable: {detail}",
+            }))
+            sys.exit(1)
+
     if args.quick:
         kw = dict(batch_size=args.batch_size or 8, image_size=16, cond_dim=10,
                   channels=32, iters=4, warmup=1)
