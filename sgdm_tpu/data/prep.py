@@ -114,16 +114,22 @@ def ffhq_onelevel(src: str | Path, dest: str | Path,
 
 
 def _resize_tree(src_dir: Path, out_dir: Path, size: int, resample,
-                 workers: int) -> int:
+                 workers: int, *, pattern: str = "*.png",
+                 preserve_mode: bool = False) -> int:
     from PIL import Image
 
-    files = [f for f in sorted(src_dir.rglob("*.png")) if f.is_file()]
+    files = [f for f in sorted(src_dir.rglob(pattern)) if f.is_file()]
     if not files:
-        raise FileNotFoundError(f"no .png files under {src_dir}")
+        raise FileNotFoundError(f"no {pattern} files under {src_dir}")
     make_clean_dir(out_dir)
 
     def one(f: Path) -> None:
-        img = Image.open(f).convert("RGB")
+        img = Image.open(f)
+        if not preserve_mode:
+            img = img.convert("RGB")
+        # label maps keep their native mode (L/P/I): .convert("RGB") would
+        # clamp >8-bit ids to 255 and triple the array shape for consumers
+        # that read class-id maps as 2-D (e.g. data/cityscapes.py)
         img.resize((size, size), resample).save(out_dir / f.name)
 
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -138,11 +144,15 @@ def resize_cityscapes(
     size: int = 320,
     splits: Iterable[str] = ("train_extra", "val"),
     workers: int = 8,
+    label_pattern: str = "*_labelIds.png",
 ) -> dict[str, tuple[int, int]]:
-    """Resize ``leftImg8bit/{split}`` (bilinear) and ``gtCoarse/{split}``
-    (nearest — label maps must not interpolate) to ``size``×``size`` under
-    ``dest/{split}_images`` / ``dest/{split}_labels``.  Returns
-    {split: (n_images, n_labels)}."""
+    """Resize ``leftImg8bit/{split}`` (bilinear, RGB) and ``gtCoarse/{split}``
+    (nearest, native mode — label maps must neither interpolate nor be
+    RGB-converted) to ``size``×``size`` under ``dest/{split}_images`` /
+    ``dest/{split}_labels``.  ``label_pattern`` selects only the class-id
+    maps: gtCoarse ships 3 PNGs per frame (labelIds / instanceIds / color)
+    and sweeping all of them would mis-pair the images↔labels outputs.
+    Returns {split: (n_images, n_labels)}; the counts must match."""
     from PIL import Image
 
     src, dest = Path(src), Path(dest)
@@ -153,7 +163,12 @@ def resize_cityscapes(
                              Image.BILINEAR, workers)
         n_lbl = _resize_tree(src / "gtCoarse" / split,
                              dest / f"{split}_labels", size,
-                             Image.NEAREST, workers)
+                             Image.NEAREST, workers,
+                             pattern=label_pattern, preserve_mode=True)
+        if n_img != n_lbl:
+            raise ValueError(
+                f"{split}: {n_img} images but {n_lbl} labels matching "
+                f"{label_pattern!r} — images↔labels would mis-pair")
         counts[split] = (n_img, n_lbl)
     return counts
 
@@ -181,6 +196,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--size", type=int, default=320)
     p.add_argument("--splits", nargs="+", default=["train_extra", "val"])
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--label-pattern", default="*_labelIds.png")
 
     args = ap.parse_args(argv)
     if args.cmd == "cocostuff-from-coco17":
@@ -191,7 +207,8 @@ def main(argv: list[str] | None = None) -> None:
         counts = {"copied": ffhq_onelevel(args.src, args.dest)}
     else:
         counts = resize_cityscapes(args.src, args.dest, size=args.size,
-                                   splits=args.splits, workers=args.workers)
+                                   splits=args.splits, workers=args.workers,
+                                   label_pattern=args.label_pattern)
     print(counts)
 
 

@@ -127,6 +127,12 @@ class SelfGuidedDiffusionTrainer:
                 )
         else:
             self.mesh = None
+            if self.fsdp:
+                logger.warning(
+                    "pl.trainer.fsdp=true is IGNORED without a device mesh "
+                    "(strategy=%s) — state stays fully replicated; set "
+                    "pl.trainer.strategy=data_parallel", strategy,
+                )
         self.state: TrainState | None = None
         self._state_shardings = None
         self.tracker: Tracker | None = None
@@ -223,9 +229,11 @@ class SelfGuidedDiffusionTrainer:
         if self.state is None:
             self._init_state(example)
         resumed = False
+        resume_epoch = None
         if resume_from:
             self.state = self.ckpt.restore(self.state, resume_from)
             self.global_step = int(self.state.step)
+            resume_epoch = self.ckpt.epoch_of(resume_from)
             resumed = True
             logger.warning(f"resumed from {resume_from} at step {self.global_step}")
 
@@ -258,14 +266,21 @@ class SelfGuidedDiffusionTrainer:
         profile = bool(self.hparams.get("profile"))
         samples_seen = 0
         # Lightning-parity resume: continue from the checkpointed epoch
-        # (derived from the restored optimizer step — one step per loader
-        # batch, grad accum included) toward max_epochs TOTAL, instead of
-        # re-running max_epochs more; keeps the per-epoch shuffle order,
-        # FID cadence and epoch-named best checkpoints aligned with an
-        # uninterrupted run (ref resume: main.py:126-133 → pl
-        # Trainer(ckpt_path=...) restoring the epoch counter).
+        # toward max_epochs TOTAL, instead of re-running max_epochs more;
+        # keeps the per-epoch shuffle order, FID cadence and epoch-named
+        # best checkpoints aligned with an uninterrupted run (ref resume:
+        # main.py:126-133 → pl Trainer(ckpt_path=...) restoring the epoch
+        # counter).  The epoch comes from the checkpoint's own persisted
+        # metadata (meta.json / best filename); the step//steps_per_epoch
+        # fallback only applies to bare checkpoints and is wrong if the
+        # resuming run uses a different limit_train_batches.
         steps_per_epoch = max(1, min(n_batches, max_batches))
-        start_epoch = self.global_step // steps_per_epoch if resumed else 0
+        if not resumed:
+            start_epoch = 0
+        elif resume_epoch is not None:
+            start_epoch = resume_epoch + 1
+        else:
+            start_epoch = self.global_step // steps_per_epoch
         if resumed and start_epoch:
             logger.info(f"resuming at epoch {start_epoch}/{max_epochs}")
         for epoch in range(start_epoch, max_epochs):

@@ -47,6 +47,53 @@ class TestCheckpointManager:
         assert "epoch_000001" in cm.meta["best_path"]
         assert "fid_30" in cm.meta["best_path"]
 
+    def test_crash_during_async_save_keeps_previous_last(self, tmp_path):
+        """A crash while an async 'last' save is in flight must leave
+        meta pointing at the PREVIOUS durable checkpoint — the old slot is
+        only deleted after the new commit is confirmed."""
+        cm = CheckpointManager(tmp_path / "ck")
+        cm.save_last(tiny_state(1.0), epoch=1)
+        cm.wait_until_finished()
+        first_path = cm.meta["last_path"]
+        # second save starts async; "crash" = the meta finalize never runs
+        # (wait for the raw commit first so no orbax thread outlives the
+        # simulated crash — a real crash kills it)
+        cm.save_last(tiny_state(2.0), epoch=2)
+        cm._ckpt.wait_until_finished()
+        del cm
+        cm2 = CheckpointManager(tmp_path / "ck")  # fresh process
+        # a mid-commit crash can also leave an orbax tmp dir on the slot
+        # the next save will reuse — it must be swept, not crash the save
+        stale = tmp_path / "ck" / "last-1.orbax-checkpoint-tmp"
+        stale.mkdir(exist_ok=True)
+        (stale / "junk").write_text("x")
+        assert cm2.meta["last_path"] == first_path
+        assert cm2.meta["last_epoch"] == 1
+        assert cm2.has_checkpoint
+        restored = cm2.restore(tiny_state(0.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 1.0)
+        # recovery: the next save reuses/clears the stale slot and rotates
+        cm2.save_last(tiny_state(3.0), epoch=3)
+        cm2.wait_until_finished()
+        restored = cm2.restore(tiny_state(0.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 3.0)
+        assert cm2.meta["last_epoch"] == 3
+
+    def test_stable_last_symlink_and_epoch_of(self, tmp_path):
+        """`.../ckpts/last` stays a valid stable name (symlink to the
+        durable slot) and epoch_of reads the persisted epoch through it."""
+        cm = CheckpointManager(tmp_path / "ck")
+        cm.save_last(tiny_state(5.0), epoch=4)
+        cm.wait_until_finished()
+        link = tmp_path / "ck" / "last"
+        assert link.is_symlink() and link.exists()
+        restored = cm.restore(tiny_state(0.0), link)
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 5.0)
+        assert CheckpointManager.epoch_of(link) == 4
+        assert CheckpointManager.epoch_of(cm.meta["last_path"]) == 4
+        assert CheckpointManager.epoch_of(
+            tmp_path / "ck" / "epoch_000007-fid_12.500") == 7
+
     def test_async_save_last_overlaps_then_drains(self, tmp_path):
         """save_last is async (commit in a background thread); mutating the
         live state right after must not corrupt the saved snapshot, and

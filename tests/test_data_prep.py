@@ -74,24 +74,43 @@ class TestFFHQOnelevel:
 
 class TestCityscapesResize:
     def test_resizes_with_split_interp(self, tmp_path):
-        # a 2-value label map: nearest keeps the value set, bilinear blends
-        lbl = np.zeros((16, 16, 3), np.uint8)
-        lbl[:, 8:] = 200
+        # mode-L class-id map: nearest keeps the id set, output stays 2-D
+        lbl = np.zeros((16, 16), np.uint8)
+        lbl[:, 8:] = 26
         for split in ("train_extra", "val"):
-            _png(tmp_path / "cs" / "leftImg8bit" / split / "city" / "i1.png",
-                 size=(16, 16))
-            p = tmp_path / "cs" / "gtCoarse" / split / "city" / "l1.png"
-            p.parent.mkdir(parents=True, exist_ok=True)
-            Image.fromarray(lbl).save(p)
+            _png(tmp_path / "cs" / "leftImg8bit" / split / "city"
+                 / "f_leftImg8bit.png", size=(16, 16))
+            gt = tmp_path / "cs" / "gtCoarse" / split / "city"
+            gt.mkdir(parents=True, exist_ok=True)
+            Image.fromarray(lbl, mode="L").save(gt / "f_gtCoarse_labelIds.png")
+            # the sibling instanceIds (mode I, >8-bit ids) and color PNGs
+            # must NOT be swept into the labels output
+            Image.fromarray(np.full((16, 16), 26001, np.int32),
+                            mode="I").save(gt / "f_gtCoarse_instanceIds.png")
+            _png(gt / "f_gtCoarse_color.png", size=(16, 16))
         counts = resize_cityscapes(tmp_path / "cs", tmp_path / "out", size=8)
         assert counts == {"train_extra": (1, 1), "val": (1, 1)}
+        out_files = sorted(p.name for p in
+                           (tmp_path / "out" / "val_labels").iterdir())
+        assert out_files == ["f_gtCoarse_labelIds.png"]
         out_lbl = np.asarray(Image.open(
-            tmp_path / "out" / "val_labels" / "l1.png"))
-        assert out_lbl.shape == (8, 8, 3)
-        assert set(np.unique(out_lbl)) <= {0, 200}  # nearest: no blending
+            tmp_path / "out" / "val_labels" / "f_gtCoarse_labelIds.png"))
+        assert out_lbl.shape == (8, 8)             # native mode: stays 2-D
+        assert set(np.unique(out_lbl)) <= {0, 26}  # nearest: ids intact
         out_img = np.asarray(Image.open(
-            tmp_path / "out" / "val_images" / "i1.png"))
+            tmp_path / "out" / "val_images" / "f_leftImg8bit.png"))
         assert out_img.shape == (8, 8, 3)
+
+    def test_image_label_count_mismatch_is_loud(self, tmp_path):
+        _png(tmp_path / "cs" / "leftImg8bit" / "val" / "c" / "a.png")
+        _png(tmp_path / "cs" / "leftImg8bit" / "val" / "c" / "b.png")
+        lbl = tmp_path / "cs" / "gtCoarse" / "val" / "c"
+        lbl.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(np.zeros((8, 8), np.uint8),
+                        mode="L").save(lbl / "a_gtCoarse_labelIds.png")
+        with pytest.raises(ValueError, match="mis-pair"):
+            resize_cityscapes(tmp_path / "cs", tmp_path / "out", size=8,
+                              splits=("val",))
 
     def test_cli_entry(self, tmp_path, capsys):
         _png(tmp_path / "src" / "s" / "f.png")
