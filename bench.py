@@ -159,10 +159,12 @@ def main() -> None:
                         "(measured slower: recompute-VJP blocks backward "
                         "fusion)")
     p.add_argument("--fused", dest="fused", action="store_true", default=None,
-                   help="fused-ResBlock Pallas kernels (fwd + Pallas "
-                        "backward) in the train step [default on TPU]")
+                   help="opt the TRAIN step into the fused-ResBlock Pallas "
+                        "kernels (fwd + Pallas backward) [default OFF: the "
+                        "XLA path measures faster in-program, BASELINE.md "
+                        "round 3; sampling always uses the fused forward]")
     p.add_argument("--no-fused", dest="fused", action="store_false",
-                   help="disable the fused-ResBlock train path (pure XLA)")
+                   help="explicit XLA train path (the default)")
     p.add_argument("--no-pallas", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--fused-optim", action="store_true",
                    help="one-pass Pallas AdamW+EMA parameter update "
@@ -234,6 +236,9 @@ def main() -> None:
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
     kw["fused_optim"] = args.fused_optim
     if args.xla_opt:
+        if "none" in args.xla_opt and len(args.xla_opt) > 1:
+            p.error("--xla-opt none cannot be combined with other --xla-opt "
+                    "values")
         if args.xla_opt != ["none"]:  # --xla-opt none → no overrides at all
             kw["compiler_options"] = dict(o.split("=", 1) for o in args.xla_opt)
     else:

@@ -149,12 +149,18 @@ class GaussianDiffusion:
         elif sampling_method == "vdm":
             from .samplers.continuous import get_log_snr_fn, vdm_sample
 
+            if self.beta_schedule not in ("linear", "cosine"):
+                # fail like an unknown sampling_method does — silently
+                # substituting a linear log-SNR for e.g. 'hf_linear' would
+                # sample the wrong schedule with no warning
+                raise ValueError(
+                    f"continuous sampler 'vdm' has no log-SNR form for "
+                    f"beta_schedule={self.beta_schedule!r} (supported: "
+                    f"linear, cosine)")
             # continuous-time ancestral sampler; the denoiser is called
             # with per-sample LOG-SNR as its time input (continuous_vdm.py)
             img, inter = vdm_sample(
-                get_log_snr_fn(
-                    self.beta_schedule if self.beta_schedule in
-                    ("linear", "cosine") else "linear"),
+                get_log_snr_fn(self.beta_schedule),
                 denoise_fn, rng, shape, num_steps=num_steps or 250,
                 clip_denoised=clip_denoised, **common,
             )
@@ -164,9 +170,12 @@ class GaussianDiffusion:
                 get_log_snr_fn,
             )
 
-            ls_fn = get_log_snr_fn(
-                self.beta_schedule if self.beta_schedule in
-                ("linear", "cosine") else "linear")
+            if self.beta_schedule not in ("linear", "cosine"):
+                raise ValueError(
+                    f"continuous sampler 'ddim_continuous' has no log-SNR "
+                    f"form for beta_schedule={self.beta_schedule!r} "
+                    f"(supported: linear, cosine)")
+            ls_fn = get_log_snr_fn(self.beta_schedule)
             img, inter = ddim_continuous_sample(
                 lambda t: jax.nn.sigmoid(ls_fn(t)),
                 denoise_fn, rng, shape,

@@ -80,17 +80,24 @@ class FeatureStats:
             self._raw.extend(other._raw)
         return self
 
-    def reduce_across_processes(self) -> "FeatureStats":
+    def reduce_across_processes(self, dim: int = 2048) -> "FeatureStats":
         """Multi-host FID reduction (SURVEY §5.8): sum (n, Σx, ΣxxT) over
         all jax processes via one on-device all-gather — the collective
         replacement for sharing per-rank PNG dirs.  Each process ends up
         holding the GLOBAL statistics; raw captures stay process-local.
-        No-op single-process."""
+        No-op single-process.
+
+        ``dim``: feature dimension to contribute when THIS process appended
+        nothing (an uneven tail can leave a host with zero samples; it must
+        still join the collective with zeros or the other hosts hang).
+        Default 2048 = the InceptionV3 pool3 width every FID here uses."""
         import jax
 
         if jax.process_count() == 1:
             return self
-        assert self._sum is not None, "reduce called before any append"
+        if self._sum is None:  # empty shard: contribute zeros, not a crash
+            self._sum = np.zeros(dim)
+            self._outer = np.zeros((dim, dim))
         from jax.experimental import multihost_utils
 
         d = self._sum.shape[0]

@@ -37,6 +37,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .layers import upsample_nearest2x as _upsample_nearest2x
+
 __all__ = [
     "LDMModel", "Encoder", "Decoder", "SimpleDecoder", "UpsampleDecoder",
     "LatentRescaler", "MergedRescaleEncoder", "MergedRescaleDecoder",
@@ -77,12 +79,6 @@ def _ddpm_timestep_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     if dim % 2 == 1:
         emb = jnp.pad(emb, ((0, 0), (0, 1)))
     return emb
-
-
-def _upsample_nearest2x(x: jnp.ndarray) -> jnp.ndarray:
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
 
 
 class Upsample(nn.Module):

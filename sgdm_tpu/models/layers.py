@@ -127,6 +127,18 @@ class GroupNorm32(nn.Module):
         return h.astype(orig)
 
 
+def upsample_nearest2x(x: jax.Array) -> jax.Array:
+    """2x nearest upsample as broadcast+reshape — the ONE shared TPU
+    implementation (also used by codec.py / zoo.py / zoo_imagen.py):
+    jax.image.resize(nearest) lowers to pad(-inf)+maximum chains on TPU
+    (measured ~16 ms/step on the IN64 flagship, BASELINE.md round 2); the
+    broadcast is a pure layout op whose backward is a cheap 2x2 reduce."""
+    b, h, w, c = x.shape
+    return jnp.broadcast_to(
+        x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+    ).reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     """2x nearest upsample + optional 3x3 conv. Parity: openaimodel.py Upsample."""
 
@@ -136,16 +148,10 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, c = x.shape
-        # 2x nearest as broadcast+reshape: jax.image.resize(nearest) lowers
-        # to pad(-inf)+maximum chains on TPU (measured ~16 ms/step on the
-        # IN64 flagship, BASELINE.md round 2); this is a pure layout op
-        # whose backward is a cheap 2x2 reduce
-        x = jnp.broadcast_to(
-            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
-        ).reshape(b, h * 2, w * 2, c)
+        x = upsample_nearest2x(x)
         if self.use_conv:
-            x = nn.Conv(self.out_channels or c, (3, 3), padding=1, dtype=self.dtype)(x)
+            x = nn.Conv(self.out_channels or x.shape[-1], (3, 3), padding=1,
+                        dtype=self.dtype)(x)
         return x
 
 

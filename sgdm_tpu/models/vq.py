@@ -132,7 +132,13 @@ class VectorQuantize(nn.Module):
     def _vq_key(self, name: str) -> jax.Array:
         if self.has_rng("vq"):
             return self.make_rng("vq")
-        return jax.random.fold_in(jax.random.PRNGKey(0), hash(name) % (2 ** 31))
+        # crc32, not hash(): str hashes are salted per interpreter
+        # (PYTHONHASHSEED), which would make the "deterministic" no-rng
+        # fallback differ run to run
+        import zlib
+
+        return jax.random.fold_in(
+            jax.random.PRNGKey(0), zlib.crc32(name.encode()) % (2 ** 31))
 
     @nn.compact
     def __call__(self, x, train: bool = False):

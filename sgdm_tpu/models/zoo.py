@@ -367,10 +367,9 @@ class DDPMUNet(nn.Module):
             x = _PreNormResidual(
                 _LinearAttention(), name=f"up_{i}_attn")(x)
             if not last:
-                b, hh, ww, c = x.shape
-                x = jnp.broadcast_to(
-                    x[:, :, None, :, None, :], (b, hh, 2, ww, 2, c)
-                ).reshape(b, hh * 2, ww * 2, c)
+                from .layers import upsample_nearest2x
+
+                x = upsample_nearest2x(x)
                 x = nn.Conv(dim_in, (3, 3), padding=1,
                             name=f"up_{i}_us")(x)
             else:

@@ -430,9 +430,9 @@ class _Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-        x = x.reshape(b, h * 2, w * 2, c)
+        from .layers import upsample_nearest2x
+
+        x = upsample_nearest2x(x)
         return nn.Conv(self.dim_out, (3, 3), padding=1, name="conv")(x)
 
 
@@ -500,6 +500,14 @@ class ImagenUNet(nn.Module):
         if self.has_rng("cond_drop"):
             u = jax.random.uniform(self.make_rng("cond_drop"), (batch,))
         else:
+            if isinstance(cond_drop_prob, (int, float)) and \
+                    0.0 < float(cond_drop_prob) < 1.0:
+                # u=0.5 would silently disable dropout for p<0.5 (and drop
+                # everything for p>=0.5) — the null branch would never train
+                raise ValueError(
+                    "fractional cond_drop_prob requires rngs={'cond_drop': "
+                    "...}; the rng-free path is exact only for the 0/1 "
+                    "per-sample vectors CFG sampling uses")
             u = jnp.full((batch,), 0.5)
         return u < (1.0 - p)
 

@@ -321,6 +321,13 @@ class FinetuneDataset:
                  reprob: float = 0.25, randaug: bool = True):
         self.base, self.size, self.train = base, size, train
         self.seed, self.reprob, self.randaug = seed, reprob, randaug
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Re-randomize the per-sample augmentations each epoch (the
+        DataLoader calls this; timm/MAE recipe parity — a fixed (seed, i)
+        stream would show every image ONE augmented view all run)."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.base)
@@ -329,7 +336,7 @@ class FinetuneDataset:
         item = self.base[i]
         img = (np.asarray(item["image"], np.float32) + 1.0) / 2.0
         if self.train:
-            rng = np.random.default_rng((self.seed, i))
+            rng = np.random.default_rng((self.seed, self._epoch, i))
             img = random_resized_crop(rng, img, self.size,
                                       scale=(0.08, 1.0))
             if self.randaug:
@@ -453,6 +460,7 @@ def train_finetune(args) -> Path:
     rng = jax.random.PRNGKey(args.seed)
     best_acc, step_i = 0.0, 0
     for epoch in range(args.epochs):
+        ds_train.set_epoch(epoch)  # fresh augmentations every epoch
         dl = DataLoader(ds_train, batch_size=args.batch_size, shuffle=True,
                         drop_last=True, seed=args.seed + epoch)
         losses = []
