@@ -154,9 +154,15 @@ class InceptionExtractor:
 # ----------------------------------------------------------------------
 
 def _mu_cov(feats: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(μ, Σ) of a feature matrix — GLOBAL on a multi-host run: the per-rank
+    sufficient statistics (n, Σx, ΣxxT) are summed over all processes
+    (`FeatureStats.reduce_across_processes`, SURVEY §5.8), so every host's
+    clean/sFID/fid_tf reflects ALL ranks' samples, not just its own dir.
+    No-op single-process."""
     st = FeatureStats()
     st.append(feats)
-    return st.mean_cov()
+    dim = feats.shape[1] if feats.ndim == 2 and len(feats) else 2048
+    return st.reduce_across_processes(dim=dim).mean_cov()
 
 
 def get_fid_dict(
@@ -173,6 +179,11 @@ def get_fid_dict(
 
     Parity: eval_fid.py:138-191 get_fid_dict (same keys; one inception
     stack instead of three).  Returns (dict, clean_fid_raw).
+
+    Multi-host: the Fréchet metrics (clean_fid_raw / sfid / fid_tf) are
+    GLOBAL — per-rank (n, Σx, ΣxxT) are reduced over all processes inside
+    `_mu_cov`; IS and PRDC need raw per-sample features and stay
+    rank-local (diagnostic parity with the reference's per-rank dirs).
     """
     f_sample = extractor.features_from_dir(sample_dir, mode="clean")
     f_real = extractor.features_from_dir(gt_dir, mode="clean")
@@ -252,14 +263,17 @@ def sample_to_dir(
         imgs = np.asarray(sample_fn(batch, bi))
         if vis_callback is not None and bi < vis_batches:
             vis_callback(bi, batch, imgs)
-        for img in imgs:
+        for j, img in enumerate(imgs):
             if i >= fid_num:
                 return sample_dir
             arr = img if img.shape[-1] > 1 else img[..., 0]
             Image.fromarray(arr).save(sample_dir / f"img{i}.png")
             if save_gt_dir is not None:
+                # pair by the IN-BATCH index j — the global counter would
+                # misalign every pair after one short batch (cycle() wrap
+                # or a drop_last=False tail)
                 gt = np.clip(
-                    (np.asarray(batch["image"][i % len(batch["image"])]) + 1)
+                    (np.asarray(batch["image"][j % len(batch["image"])]) + 1)
                     * 127.5, 0, 255,
                 ).astype(np.uint8)
                 Image.fromarray(gt if gt.shape[-1] > 1 else gt[..., 0]).save(

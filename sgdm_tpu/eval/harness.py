@@ -152,8 +152,9 @@ def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
         "same_stego_diff_cluster": "cluster",
         "diff_z_same_stego": "cluster",
     }
-    before_on = [k for k in ("samecondition", "same_cluster_same_lost",
-                             *v2_modes) if vis.get(k)]
+    before_on = [k for k in ("samecondition", "interp",
+                             "same_cluster_same_lost", *v2_modes)
+                 if vis.get(k)]
     after_on = [k for k in (
         "random", "random_stego_with_mask", "random_lost_with_box",
         "samecondition", "interp", "same_cluster_same_lost", *v2_modes,
@@ -211,7 +212,7 @@ def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
         for mode in ("same_cluster_same_lost", "same_cluster_diff_lost",
                      "diff_cluster_same_lost"):
             if vis.get(mode) and lost is not None:
-                for gi, s0 in enumerate(range(0, len(samples) - same_n, same_n)):
+                for gi, s0 in enumerate(range(0, len(samples) - same_n + 1, same_n)):
                     pv.draw_grid_lost_bbox(
                         samples[s0:s0 + same_n], lost[s0:s0 + same_n],
                         img[s0:s0 + same_n],
@@ -219,7 +220,7 @@ def _make_vis_hooks(trainer, vis: Mapping[str, Any], papervis_dir: Path,
         for mode, n in (("same_stego_diff_cluster", same_n),
                         ("diff_z_same_stego", 8)):
             if vis.get(mode) and stego is not None:
-                for gi, s0 in enumerate(range(0, len(samples) - n, n)):
+                for gi, s0 in enumerate(range(0, len(samples) - n + 1, n)):
                     pv.draw_grid_stego(
                         samples[s0:s0 + n], stego[s0:s0 + n], img[s0:s0 + n],
                         p / f"{prefix}_{mode}_{bi}_{gi}.png", padding=pad)

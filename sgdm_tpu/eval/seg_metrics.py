@@ -28,9 +28,12 @@ def unsupervised_seg_metrics(
     conf = np.zeros((n_clusters, n_classes), dtype=np.int64)
     np.add.at(conf, (preds, gts), 1)
 
-    # Hungarian assignment maximizing matched pixels
+    # Hungarian assignment maximizing matched pixels.  With more clusters
+    # than classes only n_classes rows get matched; the leftover clusters
+    # map to their confusion-row argmax (NOT to a zeros-default class 0,
+    # which would skew pixel_acc and class-0 IoU arbitrarily).
     rows, cols = scipy.optimize.linear_sum_assignment(conf, maximize=True)
-    mapping = np.zeros(n_clusters, dtype=np.int64)
+    mapping = conf.argmax(axis=1)
     mapping[rows] = cols
     remapped = mapping[preds]
 

@@ -63,8 +63,20 @@ def extract_feat(
         f"{version}_{dataset_name}_{feat_from}{suffix}_grey{int(is_grey)}_{time_str}.h5"
     )
     n_tokens = 1 + resampled_size * resampled_size
-    n_patches = (backbone.image_size // backbone.model.patch_size) ** 2
-    n_heads = backbone.model.num_heads
+    if attention_map:
+        # only ViT backbones have patch/head structure; resnet/simclr/timm
+        # extract fine with attention_map=False
+        try:
+            n_patches = (backbone.image_size
+                         // backbone.model.patch_size) ** 2
+            n_heads = backbone.model.num_heads
+        except AttributeError as e:
+            raise ValueError(
+                f"--attention_map needs a ViT backbone with "
+                f"patch_size/num_heads; {feat_from!r} has neither ({e})"
+            ) from None
+    else:
+        n_patches = n_heads = 0
 
     id2name: dict[int, str] = {}
     with h5py.File(out_path, "w") as f:

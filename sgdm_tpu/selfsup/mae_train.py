@@ -53,23 +53,34 @@ def mae_lr_schedule(lr: float, min_lr: float, warmup_epochs: float,
 
 
 class AugmentedDataset:
-    """RandomResizedCrop(0.2-1) + hflip, images in [0,1] (engine_pretrain
-    transform_train parity)."""
+    """RandomResizedCrop(0.2-1) + hflip + ImageNet normalization
+    (main_pretrain.py:123-127 transform_train parity — the Normalize step
+    matters: every consumer of the exported encoder
+    (`ssl_backbone.transform_batch`, `mae_finetune.FinetuneDataset`)
+    normalizes its inputs, so the encoder must be trained on the same
+    distribution).  `set_epoch` re-randomizes the augmentations each
+    epoch (torch DataLoader parity)."""
 
     def __init__(self, base, size: int, seed: int = 0):
         self.base = base
         self.size = size
         self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.base)
 
     def __getitem__(self, i):
+        from .ssl_backbone import IMAGENET_MEAN, IMAGENET_STD
+
         img = np.asarray(self.base[i]["image"], dtype=np.float32)
         img = (img + 1.0) / 2.0
-        rng = np.random.default_rng((self.seed, i))
-        return {"image": random_resized_crop(rng, img, self.size,
-                                             scale=(0.2, 1.0))}
+        rng = np.random.default_rng((self.seed, self._epoch, i))
+        img = random_resized_crop(rng, img, self.size, scale=(0.2, 1.0))
+        return {"image": (img - IMAGENET_MEAN) / IMAGENET_STD}
 
 
 def make_mae_full_train_step(model: MAE, tx: optax.GradientTransformation):
@@ -138,6 +149,7 @@ def train_mae(args) -> Path:
     it = 0
     for epoch in range(args.epochs):
         dl.set_epoch(epoch)
+        dataset.set_epoch(epoch)  # fresh augmentations every epoch
         for raw in dl:
             x = jnp.asarray(raw["image"], jnp.float32)
             params, opt_state, loss = step_fn(

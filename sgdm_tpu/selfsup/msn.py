@@ -41,9 +41,13 @@ def msn_loss(
         return jax.nn.softmax(z @ pn.T / tau, axis=-1)
 
     probs = assign(anchor_emb, temperature)
+    # reference (losses.py:38-60): the target assignment uses the SAME
+    # snn temperature tau as the anchors; ONLY the sharpening applies
+    # target_temperature — assigning at 0.25 and sharpening at 0.25 would
+    # double-apply temperature (effective logits/0.0625, much softer)
     targets = jax.lax.stop_gradient(
         sharpen(
-            assign(jax.lax.stop_gradient(target_emb), target_temperature),
+            assign(jax.lax.stop_gradient(target_emb), temperature),
             T=target_temperature,
         )
     )

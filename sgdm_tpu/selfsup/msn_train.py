@@ -83,6 +83,18 @@ def msn_multiview_loss(
     return loss, aux
 
 
+def _views_first(x: jax.Array) -> jax.Array:
+    """[B, V, ...] → [V*B, ...] VIEW-major (all of view 0, then view 1, …).
+
+    msn_multiview_loss tiles the per-sample targets view-major
+    (`jnp.tile(targets, (num_views, 1))` = num_views B-blocks), so the
+    anchor rows must be ordered the same way; a plain batch-major
+    `reshape(B*V, ...)` would pair most anchor views with ANOTHER
+    sample's target (row B+j would meet target j%B, not j//V)."""
+    b, v = x.shape[:2]
+    return x.transpose(1, 0, *range(2, x.ndim)).reshape(v * b, *x.shape[2:])
+
+
 def _keep_ids(rng, b, n, patch_drop):
     n_keep = max(int(n * (1.0 - patch_drop)), 1)
     noise = jax.random.uniform(rng, (b, n))
@@ -122,12 +134,10 @@ def make_msn_full_train_step(
                                      out="cls", patch_keep_ids=keep)
 
             embs = []
-            a = batch["anchors"]
-            a = a.reshape(b * rand_views, *a.shape[2:])
+            a = _views_first(batch["anchors"])
             embs.append(enc(a, _keep_ids(kr, a.shape[0], n_rand, patch_drop)))
             if focal_views:
-                f = batch["focals"]
-                f = f.reshape(b * focal_views, *f.shape[2:])
+                f = _views_first(batch["focals"])
                 embs.append(enc(f, _keep_ids(kf, f.shape[0], n_focal, patch_drop)))
             anchor_emb = jnp.concatenate(embs, axis=0)
             target_emb = encoder.apply(
@@ -155,7 +165,10 @@ def make_msn_full_train_step(
 
 class MultiCropDataset:
     """Wrap any image dataset (dict with 'image' in [-1,1] NHWC) into
-    multi-crop views in [0,1]."""
+    ImageNet-normalized multi-crop views (data_manager.py:85-103
+    make_multicrop_transform parity — the Normalize step matters: the
+    exported encoder's consumers all normalize their inputs).  `set_epoch`
+    re-randomizes the crops each epoch."""
 
     def __init__(self, base, *, rand_size, focal_size, rand_views,
                  focal_views, seed=0):
@@ -163,15 +176,23 @@ class MultiCropDataset:
         self.kw = dict(rand_size=rand_size, focal_size=focal_size,
                        rand_views=rand_views, focal_views=focal_views)
         self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.base)
 
     def __getitem__(self, i):
+        from .ssl_backbone import IMAGENET_MEAN, IMAGENET_STD
+
         img = np.asarray(self.base[i]["image"], dtype=np.float32)
         img = (img + 1.0) / 2.0
-        rng = np.random.default_rng((self.seed, i))
-        return multicrop_views(rng, img, **self.kw)
+        rng = np.random.default_rng((self.seed, self._epoch, i))
+        views = multicrop_views(rng, img, **self.kw)
+        return {k: (v - IMAGENET_MEAN) / IMAGENET_STD
+                for k, v in views.items()}
 
 
 def _build_dataset(ds: str, size: int, n: int):
@@ -244,6 +265,7 @@ def train_msn(args) -> Path:
     it = 0
     for epoch in range(args.epochs):
         dl.set_epoch(epoch)
+        dataset.set_epoch(epoch)  # fresh augmentations every epoch
         for raw in dl:
             batch = {k: jnp.asarray(v, jnp.float32) for k, v in raw.items()}
             srng = jax.random.fold_in(rng, it + 2)

@@ -134,8 +134,13 @@ class SSLBackbone:
 
 
 def _find_ckpt(name: str, ckpt_path: str | None) -> str | None:
-    if ckpt_path and Path(ckpt_path).exists():
-        return ckpt_path
+    if ckpt_path:
+        if Path(ckpt_path).exists():
+            return ckpt_path
+        # an EXPLICIT path must not silently degrade to the default
+        # search → seeded-random backbone (quietly meaningless features)
+        raise FileNotFoundError(
+            f"ssl checkpoint for {name!r} not found: {ckpt_path}")
     fname = _CKPT_NAMES.get(name)
     for root in [os.environ.get("SGDM_SSL_CKPT_DIR"), "/root/data/ssl",
                  os.path.expanduser("~/.cache/torch/hub/checkpoints")]:

@@ -68,3 +68,14 @@ def test_feat_compute_dtype_knob():
     cos = (f32 * f16).sum(-1) / (
         np.linalg.norm(f32, axis=-1) * np.linalg.norm(f16, axis=-1))
     assert cos.min() > 0.99, cos
+
+
+def test_explicit_missing_ckpt_path_raises():
+    """A user-supplied ckpt_path that doesn't exist must raise, not
+    silently degrade to the seeded-random backbone."""
+    import pytest
+
+    from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
+
+    with pytest.raises(FileNotFoundError, match="not found"):
+        get_ssl_backbone("dino_vits16", ckpt_path="/nonexistent/dino.pth")

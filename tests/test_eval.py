@@ -153,3 +153,19 @@ class TestFIDEngine:
         loader = [{"image": np.zeros((4, 8, 8, 3), dtype=np.float32)}] * 2
         out = sample_to_dir(fake_sampler, loader, 10, tmp_path / "s")
         assert len(list(out.glob("img*.png"))) == 10
+
+
+class TestSegMetricsOverclustered:
+    def test_unmatched_clusters_map_to_argmax_not_zero(self):
+        """n_clusters > n_classes: clusters the Hungarian matching leaves
+        out must map to their confusion-row argmax, not default to 0."""
+        from sgdm_tpu.eval.seg_metrics import unsupervised_seg_metrics
+
+        # 4 clusters over 2 classes; clusters 2,3 are pure class-1
+        preds = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+        gts = np.array([0, 0, 1, 1, 1, 1, 1, 1])
+        m = unsupervised_seg_metrics(preds, gts, n_clusters=4, n_classes=2)
+        # a zeros-default mapping would call clusters 2/3 "class 0":
+        # acc 4/8; argmax mapping gets everything right
+        assert m["pixel_acc"] == 1.0
+        assert m["miou"] == 1.0

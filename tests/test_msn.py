@@ -54,3 +54,33 @@ class TestTrainStep:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]
+
+
+class TestViewPairing:
+    def test_views_first_ordering(self):
+        from sgdm_tpu.selfsup.msn_train import _views_first
+
+        x = jnp.arange(2 * 3).reshape(2, 3, 1)  # B=2, V=3
+        out = np.asarray(_views_first(x)).ravel()
+        # view-major: all of view 0 (b0,b1), then view 1, then view 2
+        np.testing.assert_array_equal(out, [0, 3, 1, 4, 2, 5])
+
+    def test_multiview_loss_pairs_anchor_with_own_target(self):
+        """Anchors that EQUAL their sample's target must score a lower
+        cross-entropy than batch-major (mis-paired) ordering — the
+        regression for the [B,V]->B*V reshape bug."""
+        from sgdm_tpu.selfsup.msn_train import _views_first, msn_multiview_loss
+
+        b, v, d, k = 4, 2, 8, 4
+        rng = np.random.default_rng(0)
+        protos = jnp.asarray(rng.standard_normal((k, d)), jnp.float32)
+        target = jnp.asarray(rng.standard_normal((b, d)) * 4, jnp.float32)
+        anchors_bv = jnp.broadcast_to(target[:, None], (b, v, d))  # [B,V,D]
+
+        good, _ = msn_multiview_loss(
+            _views_first(anchors_bv), target, protos, num_views=v,
+            memax_weight=0.0)
+        bad, _ = msn_multiview_loss(
+            anchors_bv.reshape(b * v, d), target, protos, num_views=v,
+            memax_weight=0.0)
+        assert float(good) < float(bad)
