@@ -149,18 +149,22 @@ class GaussianDiffusion:
         elif sampling_method == "vdm":
             from .samplers.continuous import get_log_snr_fn, vdm_sample
 
-            if self.beta_schedule not in ("linear", "cosine"):
-                # fail like an unknown sampling_method does — silently
-                # substituting a linear log-SNR for e.g. 'hf_linear' would
-                # sample the wrong schedule with no warning
+            # closed-form log-SNR exists only for the plain-linspace betas
+            # ('sqrt_linear' here; beta_linear_log_snr is THAT schedule's
+            # continuous form — NOT the LDM sqrt-space 'linear') and the
+            # cosine schedule.  Fail like an unknown sampling_method does:
+            # silently substituting a mismatched log-SNR would denoise at
+            # systematically wrong alpha/sigma every step.
+            ls_names = {"sqrt_linear": "linear", "cosine": "cosine"}
+            if self.beta_schedule not in ls_names:
                 raise ValueError(
-                    f"continuous sampler 'vdm' has no log-SNR form for "
-                    f"beta_schedule={self.beta_schedule!r} (supported: "
-                    f"linear, cosine)")
+                    f"continuous sampler 'vdm' has no closed-form log-SNR "
+                    f"for beta_schedule={self.beta_schedule!r} (supported: "
+                    f"sqrt_linear, cosine)")
             # continuous-time ancestral sampler; the denoiser is called
             # with per-sample LOG-SNR as its time input (continuous_vdm.py)
             img, inter = vdm_sample(
-                get_log_snr_fn(self.beta_schedule),
+                get_log_snr_fn(ls_names[self.beta_schedule]),
                 denoise_fn, rng, shape, num_steps=num_steps or 250,
                 clip_denoised=clip_denoised, **common,
             )
@@ -170,12 +174,14 @@ class GaussianDiffusion:
                 get_log_snr_fn,
             )
 
-            if self.beta_schedule not in ("linear", "cosine"):
+            ls_names = {"sqrt_linear": "linear", "cosine": "cosine"}
+            if self.beta_schedule not in ls_names:
                 raise ValueError(
-                    f"continuous sampler 'ddim_continuous' has no log-SNR "
-                    f"form for beta_schedule={self.beta_schedule!r} "
-                    f"(supported: linear, cosine)")
-            ls_fn = get_log_snr_fn(self.beta_schedule)
+                    f"continuous sampler 'ddim_continuous' has no "
+                    f"closed-form log-SNR for beta_schedule="
+                    f"{self.beta_schedule!r} (supported: sqrt_linear, "
+                    f"cosine)")
+            ls_fn = get_log_snr_fn(ls_names[self.beta_schedule])
             img, inter = ddim_continuous_sample(
                 lambda t: jax.nn.sigmoid(ls_fn(t)),
                 denoise_fn, rng, shape,

@@ -74,6 +74,14 @@ def make_guided_denoiser(
     ``cond_scale`` is the Python number 1 (or 0) only the conditional (or
     unconditional) branch is traced; any other value — including traced
     arrays — takes the fused concat-double path.
+
+    Reference quirk consciously preserved (openaimodel.py:868-883 has the
+    IDENTICAL shortcuts): the 0/1 fast paths assume the 'imagen'
+    convention ((1-w)z + w·zc).  Under scale_type='cfg' the full formula
+    at w=1 would be 2·zc − z, NOT zc — so a cfg model sampled at the exact
+    Python float 1.0 gets the conditional score like the reference does,
+    while a traced/array 1.0 gets the fused-path 2·zc − z.  Documented in
+    README "behavioral quirks".
     """
 
     def _double(v):

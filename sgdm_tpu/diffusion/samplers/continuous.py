@@ -43,19 +43,27 @@ __all__ = [
 # ------------------------------------------------------------ schedules
 
 def _log(t, eps=1e-20):
-    return jnp.log(jnp.clip(t, min=eps))
+    # numpy-native on numpy input: the schedule TABLES are evaluated on
+    # host in float64 (the reference's float64 linspace — f32 cancellation
+    # near the cosine zero at t→1 is visible on the last steps) and only
+    # then cast to f32 for the scan
+    xp = np if isinstance(t, np.ndarray) else jnp
+    return xp.log(xp.clip(t, eps, None))
 
 
 def beta_linear_log_snr(t):
     """log-SNR approximating the linear beta schedule
-    (continuous_vdm.py:57-58)."""
-    return -_log(jnp.expm1(1e-4 + 10.0 * (t ** 2)))
+    (continuous_vdm.py:57-58).  f64 when called with a numpy array."""
+    xp = np if isinstance(t, np.ndarray) else jnp
+    return -_log(xp.expm1(1e-4 + 10.0 * (t ** 2)))
 
 
 def alpha_cosine_log_snr(t, s: float = 0.008):
-    """Cosine log-SNR (continuous_vdm.py:60-61)."""
+    """Cosine log-SNR (continuous_vdm.py:60-61).  f64 when called with a
+    numpy array."""
+    xp = np if isinstance(t, np.ndarray) else jnp
     return -_log(
-        jnp.cos((t + s) / (1 + s) * jnp.pi * 0.5) ** -2 - 1, eps=1e-5)
+        xp.cos((t + s) / (1 + s) * xp.pi * 0.5) ** -2 - 1, eps=1e-5)
 
 
 def get_log_snr_fn(name: str) -> Callable[[jax.Array], jax.Array]:
@@ -143,8 +151,13 @@ def vdm_sample(
     The denoiser receives the per-sample LOG-SNR as its time argument —
     VDM models condition on log-SNR, not integer steps (:162-163).
     """
-    steps = jnp.linspace(1.0, 0.0, num_steps + 1)
-    ls = log_snr_fn(steps)  # [T+1] — one schedule eval outside the scan
+    # evaluate the schedule table on HOST in f64 (closed-form schedules
+    # are numpy-native; a jnp-only fn — e.g. a learned schedule — just
+    # computes in f32, same as before), then cast once for the scan
+    ls = jnp.asarray(
+        np.asarray(log_snr_fn(np.linspace(1.0, 0.0, num_steps + 1))),
+        jnp.float32,
+    )  # [T+1] — one schedule eval outside the scan
     init_key, scan_key = jax.random.split(rng)
     img = x_T if x_T is not None else jax.random.normal(
         init_key, shape, dtype=jnp.float32)

@@ -67,8 +67,13 @@ def edm_sample(
         return x - sigma * denoise_fn(c_in * x, c_noise)
 
     init_key, scan_key = jax.random.split(rng)
+    # Every sampler reachable from GaussianDiffusion.sample takes x_T as a
+    # UNIT-variance latent; EDM's internal state lives at sigma_max scale,
+    # so a caller-supplied x_T is scaled by t_list[0] here (feeding it in
+    # raw would give the first denoiser call a ~sigma_max× too small
+    # input and collapse the trajectory).
     x = (
-        x_T
+        x_T * float(t_list[0])
         if x_T is not None
         else jax.random.normal(init_key, shape, dtype=jnp.float32) * float(t_list[0])
     )

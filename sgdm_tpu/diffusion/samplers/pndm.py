@@ -134,6 +134,11 @@ def pndm_sample(
     assert eps_hist.shape[0] == 4
 
     # ---- PLMS main phase as lax.scan -----------------------------------
+    # Reference quirk consciously preserved (pndm_sampler.py:121
+    # `timesteps[min(t+1, len-1)]`): the LAST step clamps t_next == t_prev,
+    # so its _transfer is a no-op and the chain stops at alphas_cumprod[1]
+    # instead of taking upstream-PNDM's final step to index 0.  Kept for
+    # bit-parity with the reference's trajectories (golden tests).
     t_prev_arr = jnp.asarray(main, dtype=jnp.int32)
     t_next_arr = jnp.asarray(
         [main[min(i + 1, len(main) - 1)] for i in range(len(main))], dtype=jnp.int32

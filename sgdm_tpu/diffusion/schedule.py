@@ -196,6 +196,11 @@ class DiffusionSchedule:
                     2 * posterior_variance * alphas * (1 - alphas_cumprod)
                 )
         elif parameterization == "x0":
+            # reference quirk consciously preserved (ddpm_sampler.py:91,
+            # inherited from upstream LDM): `2. * 1 - alphas_cumprod`
+            # evaluates as (2 - ā), NOT the ELBO's 2·(1 - ā).  Kept
+            # bit-for-bit — the table is exposed for parity, and p_losses
+            # does not consume it.
             lvlb_weights = 0.5 * np.sqrt(alphas_cumprod) / (2.0 * 1 - alphas_cumprod)
         else:
             raise NotImplementedError(f"parameterization {parameterization}")
@@ -231,11 +236,11 @@ class DiffusionSchedule:
     # convenience -------------------------------------------------------
     def time_to_sigma(self, t: jax.Array) -> jax.Array:
         """sigma(t) = sqrt(1 - alphas_cumprod[t]). Parity: ddpm_sampler.py:105."""
-        return jnp.sqrt(1.0 - self.alphas_cumprod)[t]
+        return self.sqrt_one_minus_alphas_cumprod[t]
 
     def sigma_to_time_int(self, sigma: jax.Array) -> jax.Array:
         """Nearest-timestep lookup for a sigma. Parity: ddpm_sampler.py:109-114."""
-        table = jnp.sqrt(1.0 - self.alphas_cumprod)
+        table = self.sqrt_one_minus_alphas_cumprod
         delta = jnp.abs(table.reshape(1, -1) - sigma.reshape(-1, 1))
         return jnp.argmin(delta, axis=-1).astype(jnp.int32)
 

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["kmeans_assign", "run_kmeans", "KMeansResult"]
+__all__ = ["kmeans_assign", "run_kmeans"]
 
 
 @partial(jax.jit, static_argnames=("chunk",))
@@ -91,12 +91,6 @@ def _lloyd_iter(feats, centroids, k: int, chunk: int):
     return sums, counts, obj
 
 
-class KMeansResult:
-    def __init__(self, centroids: np.ndarray, obj: list[float]):
-        self.centroids = centroids
-        self.obj = obj
-
-
 def _split_empty_clusters(
     centroids: np.ndarray, counts: np.ndarray, rng: np.random.Generator,
     eps: float = 1.0 / 1024.0,
@@ -120,7 +114,7 @@ def run_kmeans(
     feat_train: np.ndarray,
     feat_trainval: np.ndarray,
     cluster_k: int,
-    niter: int = 20,
+    niter: int = 30,  # faiss.Kmeans reference default (docstring line 7)
     minp: int = 200,
     max_points_per_centroid: int = 256,
     seed: int = 1234,

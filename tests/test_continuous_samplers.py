@@ -87,7 +87,10 @@ def test_ddim_continuous_analytic_gaussian():
 
 @pytest.mark.parametrize("method", ["vdm", "ddim_continuous"])
 def test_registry_dispatch(method):
-    diff = GaussianDiffusion(num_timesteps=100)
+    # 'sqrt_linear' = the plain-linspace betas whose continuous form IS
+    # beta_linear_log_snr (the analytic denoiser below assumes it); the
+    # LDM sqrt-space default 'linear' has no closed form and must raise
+    diff = GaussianDiffusion(num_timesteps=100, beta_schedule="sqrt_linear")
     if method == "vdm":
         denoise = _analytic_vdm_denoiser(beta_linear_log_snr)
     else:
@@ -113,3 +116,17 @@ def test_learned_noise_schedule_monotonic_and_bounded():
     np.testing.assert_allclose(out[0], 9.2, atol=1e-4)
     np.testing.assert_allclose(out[-1], -6.9, atol=1e-4)
     assert np.all(np.diff(out) <= 1e-6)  # monotone non-increasing
+
+
+def test_unsupported_schedule_raises():
+    """The LDM sqrt-space 'linear' default (and any schedule without a
+    closed-form log-SNR) must raise instead of silently sampling the
+    plain-linspace schedule's log-SNR."""
+    for sched in ("linear", "cosine_s999", "sqrt"):
+        try:
+            diff = GaussianDiffusion(num_timesteps=50, beta_schedule=sched)
+        except ValueError:
+            continue  # schedule itself unknown — fine
+        with pytest.raises(ValueError, match="log-SNR"):
+            diff.sample("vdm", lambda x, t: x, jax.random.PRNGKey(0),
+                        (2, 8, 8, 3), num_steps=4)
