@@ -37,6 +37,9 @@ VECTOR_COND_METHODS = (
 
 _LAYOUT_BY_HOW = {"lost": "lostbboxmask", "oracle": "segmask", "stego": "stegomask"}
 
+# exactly the reference's randomizable set (condition.py:104-119); note
+# clustermix_random IS shipped in batches but the reference deliberately
+# raises for it (condition.py:120-134) — parity kept
 _RANDOMIZABLE = ("label", "cluster", "centroid", "knn_feat")
 
 

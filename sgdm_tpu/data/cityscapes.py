@@ -16,9 +16,14 @@ from .complex_base import ComplexSegDataset
 
 __all__ = ["CityscapesDataset"]
 
-# raw gtFine ids (0..33) → 27 training classes; void-ish ids map to 0
+# raw gtFine ids (0..33) → 27 training classes, STEGO protocol: the 27
+# valid ids 7..33 map to 0..26 (bicycle=33 → 26 — an earlier `+1 ... < 27`
+# shift silently dropped it), void-ish ids 0..6 collapse into class 0
+# (road) since the 27-slot one-hot has no ignore channel.  The reference's
+# own cs27 dataset never builds a GT segmask (cityscapes27.py:217 returns
+# mask=None); this mapping is our oracle-layout extension.
 _RAW_TO_27 = {i: 0 for i in range(34)}
-_RAW_TO_27.update({i: i - 7 + 1 for i in range(7, 34) if i - 7 + 1 < 27})
+_RAW_TO_27.update({i: i - 7 for i in range(7, 34)})
 
 
 class CityscapesDataset(ComplexSegDataset):

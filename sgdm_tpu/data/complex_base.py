@@ -105,9 +105,7 @@ class ComplexSegDataset:
     def _init_cond(self, split_name: str) -> None:
         self.split_name = split_name
         self.cond = ConditionLookup(
-            self.condition_method
-            if self.condition_method not in ("attr", "layout", "stegoclusterlayout")
-            else self.condition_method,
+            self.condition_method,
             self._h5_file,
             split_name,
             self.dataset_name,

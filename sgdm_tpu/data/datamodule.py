@@ -63,6 +63,12 @@ class DataModuleFromConfig:
 
     def _loader(self, split: str, shuffle: bool) -> DataLoader:
         if split not in self.datasets:
+            if self._cfgs.get(split) is None:
+                # no config for this split: raise WITHOUT re-running
+                # setup() (which would re-instantiate every configured
+                # dataset — gigabytes of pickle re-reads per epoch when a
+                # caller probes a removed split)
+                raise KeyError(f"no dataset configured for split {split!r}")
             self.setup()
         return DataLoader(
             self.datasets[split],

@@ -78,7 +78,8 @@ class ConditionLookup:
         self.condition_cfg = condition_cfg or {}
         self.id2name = id2name
         self.num_classes = num_classes
-        self._rng = np.random.default_rng(seed)
+        self._rng = np.random.default_rng(seed)  # __init__-time tables only
+        self._seed = seed
         self.name2id: dict[str, int] | None = None
         self._h5 = None
         self.cluster_k: int | None = None
@@ -101,7 +102,15 @@ class ConditionLookup:
         # label noise + random labels (supervised_label.py:6-28)
         if label_list is not None:
             self.label_list = np.asarray(label_list)
-            if self.label_list.min() == 1:
+            # 1-based-label detection (supervised_label.py:9-12 shifts on
+            # min==1, guarded by an all-classes-present assert).  A subset
+            # that merely LACKS class 0 must not be shifted: require the
+            # span to actually look 1-based (all K classes present, or the
+            # max hitting K — unreachable for a 0-based list).
+            if self.label_list.min() == 1 and (
+                len(np.unique(self.label_list)) == num_classes
+                or self.label_list.max() == num_classes
+            ):
                 self.label_list = self.label_list - 1
             self.label_list_random = self._rng.integers(
                 0, num_classes, size=self.label_list.shape
@@ -157,6 +166,19 @@ class ConditionLookup:
             )
 
     # ------------------------------------------------------------------
+    def _thread_rng(self) -> np.random.Generator:
+        """One Generator per loader-pool thread (seeded from the lookup
+        seed + thread id) — safe under the DataLoader's ThreadPool."""
+        import threading
+
+        local = getattr(self, "_tls", None)
+        if local is None:
+            local = self._tls = threading.local()
+        if not hasattr(local, "rng"):
+            local.rng = np.random.default_rng(
+                (self._seed, threading.get_ident()))
+        return local.rng
+
     def _h5_row(self, index: int) -> int:
         if skip_id2name(self.dataset_name) or self.name2id is None:
             return index
@@ -179,13 +201,24 @@ class ConditionLookup:
             out.update(self._label_info(index))
 
         m = self.method
-        if m in (None, "attr", "label", "layout", "stegoclusterlayout"):
+        if m in (None, "attr", "label", "layout", "stegoclusterlayout",
+                 "cluster_lookup"):
+            # cluster_lookup conditions on batch['id'] via a learned table
+            # inside the model (condition.py:38-39) — nothing to fetch here
             return out
 
         if m == "feat":
             row = self._h5_row(index)
             out["feat"] = normalize_feat(
                 np.asarray(self._h5[self.split_name][row], dtype=np.float32)
+            )
+        elif m == "patchfeat":
+            # per-patch feature rows, RAW like the reference
+            # (unsupervised_patchfeat.py:6-11 returns feat_list[row]
+            # unnormalized)
+            row = self._h5_row(index)
+            out["patchfeat"] = np.asarray(
+                self._h5[self.split_name][row], dtype=np.float32
             )
         elif m in ("cluster", "clusterrandom", "clusterlayout"):
             row = self._h5_row(index)
@@ -234,7 +267,13 @@ class ConditionLookup:
             row = self._h5_row(index)
             nns = np.asarray(self.nns_list[row])
             assert self.knn_k <= len(nns)
-            pick = int(nns[self._rng.integers(0, self.knn_k)])
+            # thread-LOCAL generator: get() runs on the loader's thread
+            # pool and np Generators are not thread-safe (a shared one
+            # corrupts its BitGenerator state under concurrent draws).
+            # The reference draws from global np.random — random per
+            # access, not reproducible — so per-thread streams match its
+            # semantics while staying safe.
+            pick = int(nns[self._thread_rng().integers(0, self.knn_k)])
             out["knn_feat"] = normalize_feat(
                 np.asarray(self.feat_list[pick], dtype=np.float32)
             )

@@ -67,6 +67,15 @@ class ImageNetPickle:
         self.label_list = np.asarray(labels)
 
         rng = np.random.default_rng(666)
+        # reference parity (imagenet_pickle.py:155-193): the three ablation
+        # knobs are an elif chain — mutually exclusive by design.  Make a
+        # combined config LOUD instead of silently applying only the first.
+        active = [k for k, v in (("data_ratio", data_ratio < 1),
+                                 ("corruption", corruption > 0),
+                                 ("subgroup", subgroup > 1)) if v]
+        assert len(active) <= 1, (
+            f"ablation knobs are mutually exclusive (reference elif chain), "
+            f"got {active}")
         if data_ratio < 1:
             idx = rng.permutation(len(self.data))[: int(len(self.data) * data_ratio)]
             self.data = self.data[np.sort(idx)]

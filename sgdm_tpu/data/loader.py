@@ -113,16 +113,30 @@ class DataLoader:
             samples = list(pool.map(self.dataset.__getitem__, batch_idx.tolist()))
             return self.collate_fn(samples)
 
+        def put_or_stop(item) -> bool:
+            """Bounded put that aborts when the consumer left: a plain
+            q.put() on a full queue would block this thread FOREVER after
+            an early consumer break (limit_train_batches / limit_val
+            every epoch), pinning prefetched batches in host memory."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(load_batch(b))
+                    if not put_or_stop(load_batch(b)):
+                        return
             except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -37,6 +37,10 @@ class RandomScaleCrop:
         self.crop_size = base_size
         self.resize_size = resize_size
         self.fill = fill
+        # the random MODULE is a GIL-protected C Mersenne instance — safe
+        # under the loader's thread pool (unlike numpy Generators); draw
+        # order across threads is scheduler-dependent, same as the
+        # reference's torch-DataLoader-worker randomness
         self.rng = rng or random
 
     def __call__(self, img: Image.Image, mask: Image.Image | None,

@@ -66,3 +66,28 @@ class TestDataLoader:
         dl = DataLoader(Bad(), batch_size=4)
         with pytest.raises(RuntimeError, match="boom"):
             list(dl)
+
+
+class TestEarlyBreak:
+    def test_producer_exits_after_consumer_break(self):
+        """Breaking out of iteration mid-epoch (limit_train_batches) must
+        release the producer thread — a blocking q.put would leak one
+        thread + prefetched batches per abandoned epoch."""
+        import threading
+        import time
+
+        from sgdm_tpu.data.synthetic import SyntheticImages
+
+        ds = SyntheticImages(size=8, length=64)
+        dl = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+        before = threading.active_count()
+        for _ in range(6):  # abandoned iterations
+            for i, batch in enumerate(dl):
+                if i >= 1:
+                    break
+        deadline = time.time() + 5.0
+        while threading.active_count() > before + 1 and time.time() < deadline:
+            time.sleep(0.1)
+        # producers must have exited (allow 1 lingering pool janitor)
+        assert threading.active_count() <= before + 1, (
+            threading.active_count(), before)

@@ -158,3 +158,38 @@ class TestClusterMixAndPatch:
         out = lk.get(1)
         assert out["patchcluster"].shape == (9, 5)
         np.testing.assert_allclose(out["patchcluster"].sum(-1), 1.0)
+
+
+class TestLookupCoverageRegressions:
+    def test_cluster_lookup_is_noop(self):
+        """cluster_lookup conditions via batch['id'] in the model — the
+        per-sample h5 lookup must be a no-op, not a ValueError."""
+        lk = ConditionLookup("cluster_lookup", None, "train", "test_ds",
+                             id2name=id2name)
+        assert lk.get(3) == {}
+
+    def test_patchfeat_returns_raw_rows(self, tmp_path):
+        """patchfeat fetches the per-patch feature rows RAW
+        (unsupervised_patchfeat.py returns feat_list[row] unnormalized)."""
+        path = tmp_path / "v3_test_withpatches.h5"
+        rng = np.random.RandomState(1)
+        feats = rng.randn(N, 5, D).astype(np.float32) * 3.0
+        with h5py.File(path, "w") as f:
+            f.create_dataset("train", data=feats)
+        json.dump({"name2id": {f"img{i}.jpg": i for i in range(N)}},
+                  open(str(path).replace(".h5", ".json"), "w"))
+        lk = ConditionLookup("patchfeat", str(path), "train", "test_ds",
+                             id2name=id2name)
+        out = lk.get(4)
+        np.testing.assert_allclose(out["patchfeat"], feats[4], rtol=1e-6)
+
+    def test_one_based_shift_requires_one_based_evidence(self):
+        """A subset merely missing class 0 must NOT be shifted down."""
+        # looks 1-based: ids 1..4 over 4 classes → shift
+        lk = ConditionLookup("label", None, "train", "in32",
+                             label_list=[1, 2, 3, 4], num_classes=4)
+        assert lk.label_list.min() == 0 and lk.label_list.max() == 3
+        # 0-based subset that just lacks class 0 (min 1, max 2 of 4) → keep
+        lk2 = ConditionLookup("label", None, "train", "in32",
+                              label_list=[1, 2, 1, 2], num_classes=4)
+        assert lk2.label_list.min() == 1 and lk2.label_list.max() == 2
