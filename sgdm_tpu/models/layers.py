@@ -357,6 +357,12 @@ class SelfAttentionBlock(nn.Module):
     num_heads: int = 8
     num_head_channels: int = -1
     use_pallas: bool | str = False
+    # None = auto (flash attention whenever the TPU shape gate passes —
+    # the measured single-chip training win, independent of the conv
+    # use_pallas knob).  The trainer sets False under tensor-parallel /
+    # FSDP state shardings: pallas_calls are per-device programs GSPMD
+    # cannot partition over sharded operands.
+    flash_attention: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -383,7 +389,8 @@ class SelfAttentionBlock(nn.Module):
 
         # use_pallas=True → the fwd-only fused kernel (sampling path);
         # use_pallas="fused" (train) prefers the flash fwd+bwd route below
-        if _pallas_ok(self.use_pallas is True):
+        flash_ok = self.flash_attention is not False
+        if flash_ok and _pallas_ok(self.use_pallas is True):
             from ..ops.pallas.attention import fused_self_attention
 
             out = fused_self_attention(
@@ -391,7 +398,8 @@ class SelfAttentionBlock(nn.Module):
                 v.transpose(0, 2, 1, 3),
             ).transpose(0, 2, 1, 3).reshape(b, hh * ww, c)
         elif (
-            _pallas_ok(True)
+            flash_ok
+            and _pallas_ok(True)
             and hh * ww >= 128
             and d % 64 == 0
             # the TPU flash kernel requires the sequence length to divide

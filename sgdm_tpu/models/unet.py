@@ -95,6 +95,7 @@ class UNetBackbone(nn.Module):
     context_dim: int | None = None
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool | str = False
+    flash_attention: bool | None = None  # False: no Pallas attention (TP/FSDP)
     dtype: Any = jnp.float32
 
     def _attn(self, ch: int, name: str):
@@ -111,7 +112,8 @@ class UNetBackbone(nn.Module):
             )
         return SelfAttentionBlock(
             num_heads=self.num_heads, num_head_channels=self.num_head_channels,
-            use_pallas=self.use_pallas, dtype=self.dtype, name=name,
+            use_pallas=self.use_pallas, flash_attention=self.flash_attention,
+            dtype=self.dtype, name=name,
         )
 
     @nn.compact
@@ -229,6 +231,7 @@ class UNetModel(nn.Module):
     lookup_table_size: int = 0  # cluster_lookup: learned per-image table
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool | str = False
+    flash_attention: bool | None = None  # False: no Pallas attention (TP/FSDP)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -286,6 +289,7 @@ class UNetModel(nn.Module):
             use_ca_block=False,
             use_checkpoint=False if self.use_checkpoint == "conv" else self.use_checkpoint,
             use_pallas=self.use_pallas,
+            flash_attention=self.flash_attention,
             dtype=self.dtype,
             name="backbone",
         )(x.astype(self.dtype), emb, None, train)
@@ -320,6 +324,7 @@ class UNetCAModel(nn.Module):
     condition_method: str | None = None
     use_checkpoint: bool | str = False  # False | True (full) | "conv" (selective)
     use_pallas: bool | str = False
+    flash_attention: bool | None = None  # False: no Pallas attention (TP/FSDP)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -409,6 +414,7 @@ class UNetCAModel(nn.Module):
             context_dim=self.context_dim,
             use_checkpoint=False if self.use_checkpoint == "conv" else self.use_checkpoint,
             use_pallas=self.use_pallas,
+            flash_attention=self.flash_attention,
             dtype=self.dtype,
             name="backbone",
         )(x.astype(self.dtype), emb, context.astype(self.dtype), train)

@@ -190,7 +190,10 @@ def make_fused_adamw_ema(
             if "count" in getattr(sched_state, "_fields", ()) else sched_state
         new_opt_state = (new_adam, wd_state, new_sched)
         params_out = unflat(new_p)
-        ema_out = unflat(new_e) if use_ema else params_out
+        # use_ema=False: copy, don't alias — the TrainState is donated next
+        # step and an aliased params/ema pair donates one buffer twice
+        ema_out = (unflat(new_e) if use_ema
+                   else jax.tree.map(jnp.copy, params_out))
         return params_out, new_opt_state, ema_out
 
     return update

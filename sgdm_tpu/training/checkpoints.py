@@ -89,7 +89,12 @@ class CheckpointManager:
             tmp.unlink()
         tmp.symlink_to(path.name)
         tmp.replace(link)
-        if old and old != str(path) and Path(old).exists():
+        # clean the previous slot — but never the stable symlink itself: a
+        # legacy meta (pre-rotation layout) records last_path == '.../last',
+        # which at this point IS the fresh symlink (rmtree refuses symlinks
+        # and the target is the checkpoint we just committed)
+        if (old and old != str(path) and Path(old) != link
+                and Path(old).exists() and not Path(old).is_symlink()):
             shutil.rmtree(old)
 
     def _drain(self) -> None:

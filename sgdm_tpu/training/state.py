@@ -216,7 +216,11 @@ def make_train_step(
                                         ema_decay)
             else:
                 n = state.ema_updates
-                ema_params = params
+                # distinct buffers: ema_params aliased to params inside a
+                # donated TrainState would donate the same buffer twice on
+                # the next step (create_train_state jnp.copy's at init for
+                # the same reason)
+                ema_params = jax.tree.map(jnp.copy, params)
 
         new_state = state.replace(
             step=state.step + 1,

@@ -63,7 +63,16 @@ class SelfGuidedDiffusionTrainer:
         self.ddim_eta = float(hparams.get("ddim_eta", 0.0))
         self.log_num_per_prog = int(hparams.get("log_num_per_prog", 10))
 
-        compute_dtype = hparams.get("compute_dtype", "bfloat16")
+        # compute dtype: explicit compute_dtype wins; else pl.trainer
+        # .precision ("32"/"bf16", the Lightning-named knob the configs
+        # document) decides; default bf16
+        _pl_prec = ((to_container(hparams.get("pl") or {}).get("trainer")
+                     or {}).get("precision"))
+        compute_dtype = hparams.get("compute_dtype")
+        if compute_dtype is None:
+            compute_dtype = {"32": "float32", 32: "float32", "fp32": "float32",
+                             "16": "bfloat16", "bf16": "bfloat16",
+                             None: "bfloat16"}.get(_pl_prec, str(_pl_prec))
         self._dtype = jnp.bfloat16 if str(compute_dtype) in ("bf16", "bfloat16") else jnp.float32
 
         # --- model (dynamic group) -----------------------------------
@@ -102,6 +111,19 @@ class SelfGuidedDiffusionTrainer:
             devices = (
                 jax.devices("cpu") if os.environ.get("SGDM_FORCE_CPU") else None
             )
+            # pl.trainer.devices (Lightning GPU-count knob): an explicit
+            # int > 1 caps the mesh to the first N devices; the config
+            # default (1 / null) means "all visible devices" — on TPU the
+            # mesh IS the scaling unit and silently training on one chip
+            # of a pod would be the surprising behavior
+            n_dev = trainer_cfg.get("devices")
+            if isinstance(n_dev, int) and n_dev > 1:
+                all_devs = list(devices if devices is not None
+                                else jax.devices())
+                assert n_dev <= len(all_devs), (
+                    f"pl.trainer.devices={n_dev} but only {len(all_devs)} "
+                    f"devices visible")
+                devices = all_devs[:n_dev]
             if self.tensor_parallel > 1:
                 devs = list(devices if devices is not None else jax.devices())
                 tp = self.tensor_parallel
@@ -124,6 +146,17 @@ class SelfGuidedDiffusionTrainer:
                     "fsdp=true requires the XLA conv path — Pallas kernels "
                     "are per-device programs GSPMD cannot partition over "
                     "sharded params; set dynamic.params.use_pallas=false"
+                )
+            if (self.fsdp or self.tensor_parallel > 1) and \
+                    getattr(self.model, "flash_attention", None) is not False:
+                # pallas_calls (flash attention auto-enables on TPU even
+                # with use_pallas=false) cannot be GSPMD-partitioned over
+                # 'model'/'data'-sharded operands — force the XLA einsum
+                # attention for sharded-state training AND sampling
+                self.model = self.model.clone(flash_attention=False)
+                logger.info(
+                    "sharded state (tp/fsdp): flash attention disabled — "
+                    "XLA einsum attention partitions under GSPMD"
                 )
         else:
             self.mesh = None
@@ -264,7 +297,9 @@ class SelfGuidedDiffusionTrainer:
         )
 
         profile = bool(self.hparams.get("profile"))
-        samples_seen = 0
+        # resume-continuous: one optimizer step consumes one global batch,
+        # so the train/img_million curve continues instead of dropping to 0
+        samples_seen = self.global_step * train_dl.batch_size
         # Lightning-parity resume: continue from the checkpointed epoch
         # toward max_epochs TOTAL, instead of re-running max_epochs more;
         # keeps the per-epoch shuffle order, FID cadence and epoch-named
@@ -352,7 +387,13 @@ class SelfGuidedDiffusionTrainer:
                 step=self.global_step,
             )
 
-            self._run_validation(datamodule, epoch, fid_every_n_epoch, resumed)
+            # Lightning check_val_every_n_epoch cadence (pl/default.yaml:14
+            # ← data.trainer); forced-on-resume keeps the resume-FID rule
+            check_val_n = int(pl_trainer.get("check_val_every_n_epoch")
+                              or 1)
+            if resumed or (epoch + 1) % check_val_n == 0:
+                self._run_validation(datamodule, epoch, fid_every_n_epoch,
+                                     resumed)
             resumed = False
             # async: the write commits in the background under the next
             # epoch's training; drained at fit end below
@@ -497,13 +538,16 @@ class SelfGuidedDiffusionTrainer:
         if cache is None:
             cache = self._sampler_cache = {}
         if key not in cache:
+            # sharded params (tp/fsdp): the fused Pallas sampling kernels
+            # cannot be GSPMD-partitioned — keep the XLA path end to end
+            sharded = self.fsdp or self.tensor_parallel > 1
             cache[key] = make_sample_fn(
                 self.model, self.diffusion,
                 sampling_method=sampling_method, num_steps=num_steps,
                 cond_scale=cond_scale, scale_type=self.scale_type,
                 ddim_eta=self.ddim_eta, clip_denoised=self.clip_denoised,
                 dtp=self.dtp, log_num_per_prog=self.log_num_per_prog,
-                mesh=self.mesh,
+                mesh=self.mesh, pallas_inference=not sharded,
             )
         return cache[key]
 

@@ -1,6 +1,7 @@
 """Tests: orbax CheckpointManager best/last/resume policy + local Tracker."""
 
 import json
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -145,3 +146,30 @@ class TestMakeGrid:
         batch = np.zeros((6, 8, 8, 3), np.uint8)
         g = make_grid(batch, ncol=3, pad=2)
         assert g.shape == (2 * 8 + 2, 3 * 8 + 2 * 2, 3)
+
+    def test_legacy_real_dir_last_migrates(self, tmp_path):
+        """A pre-rotation layout (meta.last_path == '.../last', a real
+        orbax dir) migrates cleanly: next save rotates to last-0, replaces
+        'last' with a symlink, and must not rmtree the fresh symlink."""
+        import json
+
+        cm = CheckpointManager(tmp_path / "ck")
+        cm.save_last(tiny_state(1.0), epoch=0)
+        cm.wait_until_finished()
+        # forge the legacy layout: move the slot dir to 'last' (real dir)
+        import shutil as _sh
+
+        real = Path(cm.meta["last_path"])
+        legacy = tmp_path / "ck" / "last"
+        if legacy.is_symlink():
+            legacy.unlink()
+        _sh.move(str(real), str(legacy))
+        cm.meta["last_path"] = str(legacy)
+        cm._flush()
+
+        cm2 = CheckpointManager(tmp_path / "ck")
+        cm2.save_last(tiny_state(2.0), epoch=1)
+        cm2.wait_until_finished()  # must not raise on the symlink
+        restored = cm2.restore(tiny_state(0.0))
+        np.testing.assert_allclose(np.asarray(restored.params["w"]), 2.0)
+        assert (tmp_path / "ck" / "last").is_symlink()

@@ -190,3 +190,77 @@ class TestMuDtype:
         for a, b in zip(jax.tree.leaves(s32.params),
                         jax.tree.leaves(s16.params)):
             np.testing.assert_allclose(a, b, rtol=0, atol=3e-5)
+
+
+class TestTrainerKnobs:
+    def _trainer(self, extra_pl=None, **kw):
+        from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
+
+        pl = {"trainer": {"strategy": None, **(extra_pl or {})}}
+        return SelfGuidedDiffusionTrainer(
+            condition_method=None, cond_scale=0.0,
+            dynamic={
+                "target": "sgdm_tpu.models.UNetModel",
+                "params": dict(model_channels=16, out_channels=3,
+                               num_res_blocks=1, channel_mult=[1, 2],
+                               attention_resolutions=[2], num_heads=2),
+            },
+            diffusion_model={
+                "target": "sgdm_tpu.diffusion.GaussianDiffusion",
+                "params": {"num_timesteps": 10},
+            },
+            optim={"name": "adamw", "params": {"lr": 1e-4},
+                   "scheduler_config": None},
+            pl=pl, **kw,
+        )
+
+    def test_precision_knob_sets_compute_dtype(self):
+        """pl.trainer.precision is honored when compute_dtype is absent
+        (the config's '32 = full fp32' comment was previously a lie)."""
+        assert self._trainer({"precision": 32})._dtype == jnp.float32
+        assert self._trainer({"precision": "32"})._dtype == jnp.float32
+        assert self._trainer({"precision": "bf16"})._dtype == jnp.bfloat16
+        # explicit compute_dtype wins
+        assert self._trainer({"precision": 32},
+                             compute_dtype="bfloat16")._dtype == jnp.bfloat16
+
+    def test_fsdp_clone_disables_flash_attention(self, monkeypatch):
+        monkeypatch.setenv("SGDM_FORCE_CPU", "1")
+        from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
+
+        t = SelfGuidedDiffusionTrainer(
+            condition_method=None, cond_scale=0.0,
+            dynamic={
+                "target": "sgdm_tpu.models.UNetModel",
+                "params": dict(model_channels=16, out_channels=3,
+                               num_res_blocks=1, channel_mult=[1, 2],
+                               attention_resolutions=[2], num_heads=2),
+            },
+            diffusion_model={
+                "target": "sgdm_tpu.diffusion.GaussianDiffusion",
+                "params": {"num_timesteps": 10},
+            },
+            optim={"name": "adamw", "params": {"lr": 1e-4},
+                   "scheduler_config": None},
+            pl={"trainer": {"strategy": "data_parallel", "fsdp": True}},
+        )
+        # Pallas kernels (incl. auto flash attention) cannot be GSPMD-
+        # partitioned over sharded params — the trainer must opt out
+        assert t.model.flash_attention is False
+
+    def test_check_val_cadence(self, tmp_path, monkeypatch):
+        """check_val_every_n_epoch=2 runs validation on epochs 1 and 3
+        only (Lightning cadence)."""
+        monkeypatch.setenv("SGDM_FORCE_CPU", "1")
+        from sgdm_tpu.data.datamodule import DataModuleFromConfig
+
+        t = self._trainer({"check_val_every_n_epoch": 2}, log_dir=tmp_path)
+        ran = []
+        monkeypatch.setattr(
+            t, "_run_validation",
+            lambda dm, epoch, *a, **k: ran.append(epoch))
+        ds = {"target": "sgdm_tpu.data.synthetic.SyntheticImages",
+              "params": dict(size=8, num_classes=4, length=16)}
+        dm = DataModuleFromConfig(batch_size=8, train=ds, num_workers=0)
+        t.fit(dm, max_epochs=4)
+        assert ran == [1, 3]
