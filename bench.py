@@ -109,7 +109,10 @@ def bench_ddim(batch_size=64, image_size=64, cond_dim=1000, channels=128,
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for i in range(reps):
-        out, _ = sample(state.ema_params, jax.random.PRNGKey(i),
+        # i+1: rep 0 must not repeat the warmup call byte-for-byte — a
+        # caching transport could serve it without executing (bench_feat
+        # varies its batch per rep for the same reason)
+        out, _ = sample(state.ema_params, jax.random.PRNGKey(i + 1),
                         batch_size, image_size, 3, cond=cond)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0

@@ -46,8 +46,8 @@ def apply_debug_overrides(cfg: Config, run_unittest: bool = False) -> Config:
         cfg.set_path("data.test_fid_num", 5)
         cfg.set_path("pl.trainer.max_epochs", 3)
         cfg.set_path("data.trainer.max_epochs", 3)
-        cfg.set_path("pl.trainer.limit_train_batches", 8)
-        cfg.set_path("pl.trainer.limit_val_batches", 4)
+        cfg.set_path("pl.trainer.limit_train_batches", 32)
+        cfg.set_path("pl.trainer.limit_val_batches", 30)
         cfg.set_path("data.params.batch_size", 4)
         cfg.set_path("data.fid_every_n_epoch", 1)
         cfg.set_path("data.vis_every_iter", 10 ** 9)
@@ -56,6 +56,10 @@ def apply_debug_overrides(cfg: Config, run_unittest: bool = False) -> Config:
 
 def run_without_decorator(cfg: Config, run_unittest: bool = False):
     """Parity: main.py:27-143 run_without_decorator."""
+    # order matters (main.py:46-76): the +1 rounding-error epoch is added
+    # FIRST, then debug/unittest OVERWRITE max_epochs to exactly 5/3 —
+    # applying +1 after the overrides trained one extra epoch
+    shrunk = bool(run_unittest or cfg.select("debug"))
     cfg = apply_debug_overrides(cfg, run_unittest)
 
     import jax
@@ -75,12 +79,18 @@ def run_without_decorator(cfg: Config, run_unittest: bool = False):
     seed = int(cfg.select("seed", 23))
     logger.info(f"seed={seed}; devices={jax.devices()}")
 
-    # max_epochs += 1 "for rounding error in evaluation of FID" (main.py:46-48)
-    max_epochs = int(cfg.select("pl.trainer.max_epochs", 1)) + 1
+    # max_epochs += 1 "for rounding error in evaluation of FID"
+    # (main.py:46-48); debug/unittest already hold their exact final values
+    max_epochs = int(cfg.select("pl.trainer.max_epochs", 1)) + (0 if shrunk else 1)
 
     # --- build the trainer (sg group) --------------------------------
     sg_params = to_container(cfg.sg.params)
     sg_params["pl"] = to_container(cfg.pl)
+    # explicit re-injection of the (possibly debug-mutated) data group —
+    # sg.params.data = ${data} happens to resolve by reference in this
+    # engine so mutations already propagate, but the trainer's view of the
+    # data config should not depend on that interpolation subtlety
+    sg_params["data"] = to_container(cfg.data)
     sg_params["wandb"] = to_container(cfg.select("wandb", {}))
     sg_params["seed"] = seed
     trainer = instantiate_from_config({"target": cfg.sg.target, "params": sg_params})

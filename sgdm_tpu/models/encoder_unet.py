@@ -54,6 +54,10 @@ class EncoderUNetModel(nn.Module):
         h = nn.Conv(mc, (3, 3), padding=1, dtype=self.dtype, name="in_conv")(
             x.astype(self.dtype)
         )
+        # spatial pooling collects the per-INPUT-BLOCK spatial means
+        # (openaimodel.py:1181-1190: one mean after the stem, after every
+        # res(+attn) block, after every downsample, plus the middle block)
+        pools = [h.mean(axis=(1, 2))]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
             for i in range(self.num_res_blocks):
@@ -64,6 +68,7 @@ class EncoderUNetModel(nn.Module):
                         num_heads=self.num_heads, dtype=self.dtype,
                         name=f"down_attn_{level}_{i}",
                     )(h)
+                pools.append(h.mean(axis=(1, 2)))
             if level != len(self.channel_mult) - 1:
                 if self.resblock_updown:
                     h = ResBlock(out_channels=h.shape[-1], down=True, **common,
@@ -71,6 +76,7 @@ class EncoderUNetModel(nn.Module):
                 else:
                     h = Downsample(dtype=self.dtype,
                                    name=f"downsample_{level}")(h)
+                pools.append(h.mean(axis=(1, 2)))
                 ds *= 2
 
         h = ResBlock(**common, name="mid_res1")(h, emb, train)
@@ -81,10 +87,14 @@ class EncoderUNetModel(nn.Module):
         if self.pool == "adaptive":
             h = GroupNorm32(name="out_norm")(h, silu=True)
             h = h.mean(axis=(1, 2))
+            # zero-init head: logits start at exactly 0 like the
+            # reference's zero_module(conv_nd) (openaimodel.py adaptive out)
             logits = nn.Dense(self.num_classes, dtype=jnp.float32,
+                              kernel_init=nn.initializers.zeros,
                               name="out")(h.astype(jnp.float32))
         elif self.pool == "spatial":
-            h = h.reshape(h.shape[0], -1)
+            pools.append(h.mean(axis=(1, 2)))
+            h = jnp.concatenate(pools, axis=-1)  # [B, _feature_size]
             h = nn.Dense(2048, dtype=self.dtype, name="spatial_fc")(h)
             logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                               name="out")(nn.relu(h).astype(jnp.float32))

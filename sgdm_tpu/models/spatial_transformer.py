@@ -26,7 +26,10 @@ class GEGLU(nn.Module):
     def __call__(self, x):
         h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate)
+        # exact erf gelu: torch F.gelu default (dynamic/attention.py GEGLU);
+        # flax's tanh approximation would drift ~1e-3/activation vs ported
+        # reference weights (vit.py Mlp makes the same choice)
+        return h * nn.gelu(gate, approximate=False)
 
 
 class CrossAttention(nn.Module):

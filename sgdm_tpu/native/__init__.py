@@ -107,6 +107,16 @@ def load_batchgather() -> ctypes.CDLL:
     return _GATHER
 
 
+def _check_idx(idx: np.ndarray, n: int) -> None:
+    """Bounds check BEFORE the GIL-released C gather: an out-of-range index
+    would be a silent OOB heap read (corrupt batch) or a SIGSEGV with no
+    Python traceback, where numpy fancy indexing raises IndexError."""
+    if len(idx) and (idx.min() < 0 or idx.max() >= n):
+        raise IndexError(
+            f"gather indices out of range [0, {n}): "
+            f"min={idx.min()} max={idx.max()}")
+
+
 def gather_image_batch(
     data: np.ndarray,            # [N, 3*S*S] uint8 (CHW rows) or [N,S,S,3]
     indices: np.ndarray,         # [B] int
@@ -119,6 +129,7 @@ def gather_image_batch(
     copy.  Returns (images [B,S,S,3] f32, img_u8 [B,S,S,3] | None)."""
     lib = load_batchgather()
     idx = np.ascontiguousarray(indices, dtype=np.int64)
+    _check_idx(idx, len(data))
     b = len(idx)
     flat = data.reshape(len(data), -1)
     assert flat.shape[1] == 3 * size * size, (flat.shape, size)
@@ -137,6 +148,7 @@ def gather_rows(rows: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Native f32 row gather ([N,D] → [B,D])."""
     lib = load_batchgather()
     idx = np.ascontiguousarray(indices, dtype=np.int64)
+    _check_idx(idx, len(rows))
     rows = np.ascontiguousarray(rows, dtype=np.float32)
     out = np.empty((len(idx), rows.shape[1]), dtype=np.float32)
     lib.gather_rows_f32(rows, idx, len(idx), rows.shape[1], out)

@@ -50,9 +50,24 @@ class Permutohedral {
       scale[i] = 1.0f / std::sqrt((float)(i + 2) * (i + 1)) *
                  (dp1)*std::sqrt(2.0f / 3.0f);
 
-    std::unordered_map<std::uint64_t, int> hash;
+    // bucket by 64-bit FNV but CONFIRM the full key on every probe —
+    // Adams et al. / pydensecrf compare keys too; hash-only dedup would
+    // silently merge unrelated lattice points on a collision
+    std::unordered_multimap<std::uint64_t, int> hash;
     hash.reserve((size_t)n * 2);
     std::vector<std::vector<int>> keys;  // lattice point keys (first d coords)
+
+    auto find_key = [&](std::uint64_t h, const int* k) -> int {
+      auto range = hash.equal_range(h);
+      for (auto it = range.first; it != range.second; ++it) {
+        const std::vector<int>& stored = keys[it->second];
+        bool same = true;
+        for (int j = 0; j < d_; ++j)
+          if (stored[j] != k[j]) { same = false; break; }
+        if (same) return it->second;
+      }
+      return -1;
+    };
 
     auto hash_key = [&](const int* k) {
       std::uint64_t h = 1469598103934665603ull;
@@ -122,14 +137,11 @@ class Permutohedral {
                    (rank[j] > d - remainder ? remainder - dp1 : remainder);
         }
         std::uint64_t h = hash_key(key.data());
-        auto it = hash.find(h);
-        int id;
-        if (it == hash.end()) {
+        int id = find_key(h, key.data());
+        if (id < 0) {
           id = (int)keys.size();
           hash.emplace(h, id);
           keys.emplace_back(key.begin(), key.end());
-        } else {
-          id = it->second;
         }
         offsets_[(size_t)i * dp1 + remainder] = id;
         weights_[(size_t)i * dp1 + remainder] = barycentric[remainder];
@@ -152,10 +164,8 @@ class Permutohedral {
           nk1[dir] = k0[dir] - d;
           nk2[dir] = k0[dir] + d;
         }
-        auto i1 = hash.find(hash_key(nk1.data()));
-        auto i2 = hash.find(hash_key(nk2.data()));
-        blur_n1_[(size_t)dir * m_ + id] = i1 == hash.end() ? -1 : i1->second;
-        blur_n2_[(size_t)dir * m_ + id] = i2 == hash.end() ? -1 : i2->second;
+        blur_n1_[(size_t)dir * m_ + id] = find_key(hash_key(nk1.data()), nk1.data());
+        blur_n2_[(size_t)dir * m_ + id] = find_key(hash_key(nk2.data()), nk2.data());
       }
     }
   }

@@ -175,7 +175,13 @@ def _trace_ms(profile_dir: str) -> tuple[dict[str, float], float, int]:
             for ev in line.events:
                 raw = ev_meta.get(ev.metadata_id, "?")
                 nm = raw.split(" =")[0].lstrip("%")
-                if nm.startswith(("copy-start", "copy-done")):
+                # async DMA windows (in-flight spans, not occupancy) —
+                # same set trace_summary._categorize excludes
+                if nm.startswith(("copy-start", "copy-done", "slice-start",
+                                  "slice-done", "dynamic-slice-start",
+                                  "dynamic-slice-done",
+                                  "dynamic-update-slice-start",
+                                  "dynamic-update-slice-done")):
                     continue
                 out[nm] = out.get(nm, 0.0) + ev.duration_ps / 1e9
         break
