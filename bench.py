@@ -34,7 +34,8 @@ BASELINE_SAMPLES_PER_SEC = 250.0  # estimated A100 torch baseline (see above)
 
 def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
           use_pallas: bool = True, use_checkpoint: bool = False,
-          compiler_options: dict | None = None, fused_optim: bool = False):
+          compiler_options: dict | None = None, fused_optim: bool = False,
+          mu_dtype: str | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +52,7 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
         dtype=jnp.bfloat16,
     )
     diffusion = GaussianDiffusion(num_timesteps=1000)
-    tx = create_optimizer("adamw", lr=1e-4, wd=0.01)
+    tx = create_optimizer("adamw", lr=1e-4, wd=0.01, mu_dtype=mu_dtype)
     rng = jax.random.PRNGKey(0)
     batch = {
         "image": jax.random.normal(rng, (batch_size, image_size, image_size, 3)),
@@ -69,12 +70,13 @@ def build(batch_size: int, image_size: int, cond_dim: int, channels: int = 128,
 
 def bench_train(batch_size=256, image_size=64, cond_dim=1000, channels=128,
                 iters=20, warmup=3, use_pallas=True, use_checkpoint=False,
-                compiler_options=None, fused_optim=False):
+                compiler_options=None, fused_optim=False, mu_dtype=None):
     import jax
 
     model, diffusion, state, step, batch = build(
         batch_size, image_size, cond_dim, channels, use_pallas, use_checkpoint,
         compiler_options=compiler_options, fused_optim=fused_optim,
+        mu_dtype=mu_dtype,
     )
     rng = jax.random.PRNGKey(1)
     for _ in range(warmup):
@@ -177,6 +179,11 @@ def main() -> None:
                    help="extra XLA compiler option(s) shipped with the "
                         "program (reaches the remote axon compiler, unlike "
                         "XLA_FLAGS)")
+    p.add_argument("--mu-dtype", default=None, metavar="DTYPE",
+                   help="dtype for the first Adam moment (optax mu_dtype "
+                        "semantics; e.g. bfloat16 halves the mu stream of "
+                        "the weight-update fusions and 4 B/param of state; "
+                        "default f32 = reference parity)")
     p.add_argument("--remat", choices=["none", "conv", "full"], default=None,
                    help="activation checkpointing: 'conv' saves conv outputs "
                         "and recomputes the cheap GN/SiLU chains (keeps the "
@@ -238,6 +245,7 @@ def main() -> None:
     remat = args.remat if args.remat is not None else "none"
     kw["use_checkpoint"] = {"none": False, "conv": "conv", "full": True}[remat]
     kw["fused_optim"] = args.fused_optim
+    kw["mu_dtype"] = args.mu_dtype
     if args.xla_opt:
         if "none" in args.xla_opt and len(args.xla_opt) > 1:
             p.error("--xla-opt none cannot be combined with other --xla-opt "
