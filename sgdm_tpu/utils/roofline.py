@@ -24,8 +24,12 @@ nominal v4 vs v5e → ~1.5x) and the MXU-bound fraction by peak-FLOPs ratio
 (275/197 TF/s bf16 ≈ 1.4x).
 
 CLI:
-  python -m sgdm_tpu.utils.roofline [--mode fused|xla] [--batch-size N]
+  python -m sgdm_tpu.utils.roofline [--mode fused|xla|pallas|sample]
+                                    [--batch-size N] [--num-steps K]
   (TPU required; writes the table to stdout for BASELINE.md.)
+  `--mode sample` audits the jitted DDIM sampling program instead of the
+  train step: the scan-body fusions are attributed via module-wide HLO
+  parsing × per-op execution counts from the trace.
 """
 
 from __future__ import annotations
@@ -105,9 +109,19 @@ def _parse_instr(line: str):
     return name, shape, km.group(1), rest[km.end():]
 
 
-def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
-    """Per-instruction HBM traffic of the ENTRY computation of an
-    optimized HLO module."""
+def hlo_traffic(hlo_text: str,
+                computations: str = "entry") -> dict[str, OpTraffic]:
+    """Per-instruction HBM traffic of an optimized HLO module.
+
+    ``computations="entry"`` audits only the ENTRY computation (right for a
+    straight-line program like the train step, where every top-level fusion
+    lives in ENTRY).  ``computations="all"`` parses every instruction in the
+    module — needed for programs whose hot loop is a `lax.scan`/`while`
+    (the DDIM sampler): the per-iteration fusions live in the while-body
+    computation, not ENTRY.  In "all" mode the map also contains
+    fusion-INTERNAL instructions, so callers must intersect with the names
+    actually observed executing in a profiler trace before summing traffic
+    (audit_sample_step does exactly that)."""
     # result-shape lookup for every instruction in the module (operands may
     # reference fusion outputs defined in the entry computation only — but
     # build the full map to be safe)
@@ -117,17 +131,20 @@ def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
         if p:
             shapes[p[0]] = p[1]
 
-    # find the entry computation: "ENTRY %name (..) -> .. {" … "}"
-    entry = []
-    in_entry = False
-    for line in hlo_text.splitlines():
-        if line.startswith("ENTRY "):
-            in_entry = True
-            continue
-        if in_entry:
-            if line.startswith("}"):
-                break
-            entry.append(line)
+    if computations == "all":
+        entry = hlo_text.splitlines()
+    else:
+        # find the entry computation: "ENTRY %name (..) -> .. {" … "}"
+        entry = []
+        in_entry = False
+        for line in hlo_text.splitlines():
+            if line.startswith("ENTRY "):
+                in_entry = True
+                continue
+            if in_entry:
+                if line.startswith("}"):
+                    break
+                entry.append(line)
 
     ops: dict[str, OpTraffic] = {}
     for line in entry:
@@ -150,6 +167,19 @@ def hlo_traffic(hlo_text: str) -> dict[str, OpTraffic]:
 
 def _trace_ms(profile_dir: str) -> tuple[dict[str, float], float, int]:
     """name → total ms across steps; plus (step_ms, n_steps)."""
+    ms, _counts, step_ms, steps = _trace_ms_counts(profile_dir)
+    return ms, step_ms, steps
+
+
+def _trace_ms_counts(
+    profile_dir: str,
+) -> tuple[dict[str, float], dict[str, int], float, int]:
+    """name → (total ms, execution count) plus (step_ms, n_steps).
+
+    The count is the number of executed occurrences of the op in the traced
+    window — for a fusion inside a scanned sampler body that is
+    reps × num_steps, which converts per-execution HLO bytes into total
+    traffic."""
     try:
         from tensorflow.tsl.profiler.protobuf import xplane_pb2
     except Exception:  # pragma: no cover
@@ -161,6 +191,7 @@ def _trace_ms(profile_dir: str) -> tuple[dict[str, float], float, int]:
     xs = xplane_pb2.XSpace()
     xs.ParseFromString(open(sorted(paths)[-1], "rb").read())
     out: dict[str, float] = {}
+    counts: dict[str, int] = {}
     step_ms, steps = 0.0, 0
     for plane in xs.planes:
         if "TPU" not in plane.name:
@@ -184,8 +215,9 @@ def _trace_ms(profile_dir: str) -> tuple[dict[str, float], float, int]:
                                   "dynamic-update-slice-done")):
                     continue
                 out[nm] = out.get(nm, 0.0) + ev.duration_ps / 1e9
+                counts[nm] = counts.get(nm, 0) + 1
         break
-    return out, step_ms, steps
+    return out, counts, step_ms, steps
 
 
 def audit_train_step(mode: str = "fused", batch_size: int = 192,
@@ -259,15 +291,116 @@ def audit_train_step(mode: str = "fused", batch_size: int = 192,
           f"{rest_b / 1e9:7.3f} {rest_ms:7.2f}")
 
 
+def audit_sample_step(batch_size: int = 64, num_steps: int = 50,
+                      top: int = 20, channels: int = 128,
+                      image_size: int = 64, cond_dim: int = 1000,
+                      hbm_gbps: float = 357.0, reps: int = 3,
+                      param_dtype: str | None = None) -> None:
+    """Roofline audit of the DDIM sampling program (the second headline
+    metric).  The sampler is ONE jitted program whose hot loop is a
+    `lax.scan` over timesteps, so the per-step fusions live in the
+    while-body computation: bytes are parsed module-wide
+    (`hlo_traffic(..., computations="all")`) and totals are restricted to
+    ops that actually executed in the profiler trace (count × per-exec
+    bytes), which excludes fusion-internal instructions by construction.
+    Matches the bench_ddim configuration (fused forward resblock kernels,
+    CFG-doubled effective batch)."""
+    import os
+    import tempfile
+    import time
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    import bench as _bench
+    from sgdm_tpu.training.state import make_sample_fn
+
+    model, diffusion, state, _, batch = _bench.build(
+        batch_size, image_size, cond_dim, channels,
+    )
+    pdt = {None: None, "bfloat16": jnp.bfloat16,
+           "float32": jnp.float32}[param_dtype]
+    sample = make_sample_fn(
+        model, diffusion, sampling_method="ddim", num_steps=num_steps,
+        cond_scale=2.0, param_dtype=pdt,
+    )
+    cond = batch["cond"]
+    args = (state.ema_params, jax.random.PRNGKey(0), batch_size,
+            image_size, 3)
+    out, _ = sample(*args, cond=cond)
+    jax.block_until_ready(out)
+
+    hlo = sample.lower(*args, cond=cond).compile().as_text()
+    ops = hlo_traffic(hlo, computations="all")
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        with jax.profiler.trace(td):
+            for i in range(reps):
+                out, _ = sample(state.ema_params, jax.random.PRNGKey(i + 1),
+                                batch_size, image_size, 3, cond=cond)
+            jax.block_until_ready(out)
+        wall_ms = (time.perf_counter() - t0) / reps * 1e3
+        ms_by_name, counts, _, _ = _trace_ms_counts(td)
+
+    # per-call aggregation: only ops seen executing (drops fusion internals)
+    rows = []
+    for nm, tot_ms in ms_by_name.items():
+        if nm not in ops:
+            continue
+        o = ops[nm]
+        execs = counts.get(nm, 0)
+        rows.append((nm, o.bytes * execs / reps, o.out_bytes * execs / reps,
+                     tot_ms / reps, execs // reps))
+    rows.sort(key=lambda r: r[3], reverse=True)
+    total_bytes = sum(r[1] for r in rows)
+    total_out = sum(r[2] for r in rows)
+    total_ms = sum(r[3] for r in rows)
+    call_s = wall_ms / 1e3
+    print(f"# DDIM sample: bs={batch_size} (CFG-doubled {2 * batch_size}) "
+          f"steps={num_steps} ch={channels} {image_size}px "
+          f"param_dtype={param_dtype or 'stored-f32'} — "
+          f"{wall_ms:.1f} ms/call = {num_steps / call_s:.2f} steps/s, "
+          f"{batch_size / call_s:.2f} imgs/s (sync-op sum {total_ms:.1f} ms)")
+    print(f"# traffic/call: written {total_out / 1e9:.1f} GB "
+          f"({total_out / 1e9 / call_s:.0f} GB/s, "
+          f"{total_out / 1e9 / call_s / hbm_gbps:.0%} of {hbm_gbps:.0f} GB/s "
+          f"measured peak) · operand+result upper bound "
+          f"{total_bytes / 1e9:.1f} GB "
+          f"({total_bytes / 1e9 / call_s:.0f} GB/s)")
+    print(f"{'fusion':58s} {'GB':>7s} {'ms':>7s} {'GB/s':>6s} {'%call':>6s} "
+          f"{'execs':>5s}")
+    for nm, b, _ob, ms, execs in rows[:top]:
+        gbs = b / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
+        print(f"{nm[:58]:58s} {b / 1e9:7.3f} {ms:7.2f} {gbs:6.0f} "
+              f"{ms / wall_ms:6.1%} {execs:5d}")
+    rest_b = sum(r[1] for r in rows[top:])
+    rest_ms = sum(r[3] for r in rows[top:])
+    print(f"{'(remaining ' + str(max(len(rows) - top, 0)) + ' ops)':58s} "
+          f"{rest_b / 1e9:7.3f} {rest_ms:7.2f}")
+
+
 if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--mode", choices=["fused", "xla", "pallas"],
+    p.add_argument("--mode", choices=["fused", "xla", "pallas", "sample"],
                    default="fused")
-    p.add_argument("--batch-size", type=int, default=192)
+    p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--top", type=int, default=20)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--num-steps", type=int, default=50,
+                   help="DDIM steps (sample mode only)")
+    p.add_argument("--param-dtype", choices=["bfloat16", "float32"],
+                   default=None, help="sampler weight cast (sample mode)")
     a = p.parse_args()
-    audit_train_step(mode=a.mode, batch_size=a.batch_size, top=a.top,
-                     iters=a.iters)
+    if a.mode == "sample":
+        audit_sample_step(batch_size=a.batch_size or 64,
+                          num_steps=a.num_steps, top=a.top, reps=a.iters,
+                          param_dtype=a.param_dtype)
+    else:
+        audit_train_step(mode=a.mode, batch_size=a.batch_size or 192,
+                         top=a.top, iters=a.iters)

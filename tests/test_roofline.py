@@ -48,3 +48,32 @@ def test_hlo_traffic_entry_ops():
     cv = ops["convert.5"]
     assert cv.out_bytes == 4 * 256 * 4
     assert cv.in_bytes == 4 * 256 * 2
+
+
+_HLO_WHILE = _HLO.replace(
+    "ENTRY %main",
+    """\
+%while_body (s: f32[8,128]) -> f32[8,128] {
+  %s = f32[8,128]{1,0} parameter(0)
+  ROOT %body_fusion.3 = f32[8,128]{1,0} fusion(%s), kind=kLoop, calls=%fused_computation.1
+}
+
+ENTRY %main""",
+)
+
+
+def test_hlo_traffic_all_computations():
+    """`computations="all"` must surface while-body fusions (the DDIM scan
+    case) that entry-only parsing misses."""
+    assert "body_fusion.3" not in hlo_traffic(_HLO_WHILE)
+    ops = hlo_traffic(_HLO_WHILE, computations="all")
+    bf = ops["body_fusion.3"]
+    assert bf.kind == "fusion"
+    assert bf.out_bytes == 8 * 128 * 4
+    assert bf.in_bytes == 8 * 128 * 4
+    # entry ops still present; bookkeeping still excluded
+    assert "fusion.1" in ops and "tuple.9" not in ops
+    # fusion-INTERNAL instructions do leak into "all" mode (documented);
+    # callers intersect with traced names — just assert the known internal
+    # is attributable so the contract is visible here
+    assert "m" in ops
