@@ -346,12 +346,19 @@ def audit_sample_step(batch_size: int = 64, num_steps: int = 50,
         wall_ms = (time.perf_counter() - t0) / reps * 1e3
         ms_by_name, counts, _, _ = _trace_ms_counts(td)
 
-    # per-call aggregation: only ops seen executing (drops fusion internals)
+    # per-call aggregation: only ops seen executing (drops fusion internals).
+    # Control-flow wrappers (`while`, `conditional`) are excluded: their
+    # trace span COVERS the body ops, which are attributed on their own
+    # rows — counting both would double the loop (measured: the while.6
+    # span alone is ~44 % of the call while the body rows already sum to
+    # the clean unprofiled call time).
     rows = []
     for nm, tot_ms in ms_by_name.items():
         if nm not in ops:
             continue
         o = ops[nm]
+        if o.kind in ("while", "conditional"):
+            continue
         execs = counts.get(nm, 0)
         rows.append((nm, o.bytes * execs / reps, o.out_bytes * execs / reps,
                      tot_ms / reps, execs // reps))
@@ -363,20 +370,24 @@ def audit_sample_step(batch_size: int = 64, num_steps: int = 50,
     print(f"# DDIM sample: bs={batch_size} (CFG-doubled {2 * batch_size}) "
           f"steps={num_steps} ch={channels} {image_size}px "
           f"param_dtype={param_dtype or 'stored-f32'} — "
-          f"{wall_ms:.1f} ms/call = {num_steps / call_s:.2f} steps/s, "
-          f"{batch_size / call_s:.2f} imgs/s (sync-op sum {total_ms:.1f} ms)")
+          f"{wall_ms:.1f} ms/call traced wall = {num_steps / call_s:.2f} "
+          f"steps/s, {batch_size / call_s:.2f} imgs/s; device-op sum "
+          f"{total_ms:.1f} ms/call = {num_steps / (total_ms / 1e3):.2f} "
+          f"steps/s device-limit (trace wall includes profiler/tunnel "
+          f"overhead — trust the device sum)")
+    dev_s = total_ms / 1e3
     print(f"# traffic/call: written {total_out / 1e9:.1f} GB "
-          f"({total_out / 1e9 / call_s:.0f} GB/s, "
-          f"{total_out / 1e9 / call_s / hbm_gbps:.0%} of {hbm_gbps:.0f} GB/s "
+          f"({total_out / 1e9 / dev_s:.0f} GB/s over device time, "
+          f"{total_out / 1e9 / dev_s / hbm_gbps:.0%} of {hbm_gbps:.0f} GB/s "
           f"measured peak) · operand+result upper bound "
           f"{total_bytes / 1e9:.1f} GB "
-          f"({total_bytes / 1e9 / call_s:.0f} GB/s)")
-    print(f"{'fusion':58s} {'GB':>7s} {'ms':>7s} {'GB/s':>6s} {'%call':>6s} "
+          f"({total_bytes / 1e9 / dev_s:.0f} GB/s)")
+    print(f"{'fusion':58s} {'GB':>7s} {'ms':>7s} {'GB/s':>6s} {'%dev':>6s} "
           f"{'execs':>5s}")
     for nm, b, _ob, ms, execs in rows[:top]:
         gbs = b / 1e9 / (ms / 1e3) if ms > 0 else float("nan")
         print(f"{nm[:58]:58s} {b / 1e9:7.3f} {ms:7.2f} {gbs:6.0f} "
-              f"{ms / wall_ms:6.1%} {execs:5d}")
+              f"{ms / total_ms:6.1%} {execs:5d}")
     rest_b = sum(r[1] for r in rows[top:])
     rest_ms = sum(r[3] for r in rows[top:])
     print(f"{'(remaining ' + str(max(len(rows) - top, 0)) + ' ops)':58s} "
