@@ -151,6 +151,158 @@ def bench_feat(batch_size=256, image_size=64, reps=5, name="dino_vitb16"):
     return batch_size * reps / dt
 
 
+def _ensure_e2e_dataset(n: int, image_size: int = 64, k: int = 1000,
+                        seed: int = 0):
+    """Cached synthetic IN64-format dataset for the e2e bench: the REAL
+    on-disk formats — the `in64pickle.h5` pack (`data_train`/`labels_train`,
+    ref: dataset/imagenet_pickle.py:96-110) + a v4-style cluster h5
+    (`train` assignments, `all_attributes.attrs['cluster_k']`, sibling
+    name2id json; SURVEY.md §2.7) — so the bench exercises the h5 bulk
+    read, the per-sample cluster lookups and the native batchgather
+    exactly like a real IN64 cluster-conditioned run."""
+    import json as _json
+    from pathlib import Path
+
+    import h5py
+    import numpy as np
+
+    base = Path(os.path.expanduser("~/.cache/sgdm/bench_e2e"))
+    sized = base / f"size{image_size}"
+    pack = sized / "in64pickle.h5"
+    cl = base / f"v4_bench_cluster{k}_{image_size}px.h5"
+    cl_json = Path(str(cl).replace(".h5", ".json"))
+    marker = base / f"ok_n{n}_s{image_size}_k{k}"
+    if not marker.exists():
+        sized.mkdir(parents=True, exist_ok=True)
+        rng = np.random.default_rng(seed)
+        data = rng.integers(0, 256, (n, 3 * image_size * image_size),
+                            dtype=np.uint8)
+        labels = rng.integers(0, 1000, n)  # packs are 0-based
+        with h5py.File(pack, "w") as f:
+            f.create_dataset("data_train", data=data)
+            f.create_dataset("labels_train", data=labels)
+            f.create_dataset("data_val", data=data[:256])
+            f.create_dataset("labels_val", data=labels[:256])
+        with h5py.File(cl, "w") as f:
+            f.create_dataset("train",
+                             data=rng.integers(0, k, n).astype(np.int64))
+            f.create_dataset("val",
+                             data=rng.integers(0, k, 256).astype(np.int64))
+            f.create_dataset(
+                "centroids",
+                data=rng.standard_normal((k, 768)).astype(np.float32))
+            d = f.create_dataset("all_attributes", data=np.zeros(1))
+            d.attrs["cluster_k"] = k
+        cl_json.write_text(_json.dumps({
+            "name2id": {f"{i}.jpg": i for i in range(n)},
+            "id2name": {str(i): f"{i}.jpg" for i in range(n)},
+        }))
+        marker.touch()
+    return str(base), str(cl)
+
+
+def bench_e2e(batch_size=192, image_size=64, channels=128, iters=40,
+              log_every=5, num_workers=8, prefetch_batches=4,
+              use_pallas=False):
+    """Loader-fed END-TO-END training rate through the REAL trainer loop:
+    threaded DataLoader + h5 bulk reads + per-sample h5cond cluster
+    lookups + native batchgather + `_device_batch` conditioning/transfer +
+    the trainer's own step/logging cadence — the number a real IN64
+    cluster run delivers, vs the device-resident bare-step metric.
+
+    Rate = median of the trainer's own `train/iters_per_sec` windows
+    (lightning_module.py:217-220 parity), dropping the first two (compile
+    + warmup).  The per-epoch checkpoint save is stubbed out: it is an
+    epoch-BOUNDARY cost outside the steady-state rate both here and in
+    the reference's iters_per_sec."""
+    import tempfile
+
+    import numpy as np
+
+    from sgdm_tpu.data.imagenet_pickle import ImageNetPickle
+    from sgdm_tpu.data.loader import DataLoader
+    from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
+
+    k = 1000  # cluster_k == cond_dim of the flagship record config
+    root, h5file = _ensure_e2e_dataset(n=batch_size * iters,
+                                       image_size=image_size, k=k)
+    ds = ImageNetPickle(root=root, train=True, image_size=image_size,
+                        num_classes=1000, condition_method="cluster",
+                        h5_file=h5file)
+    dl = DataLoader(ds, batch_size, shuffle=True, num_workers=num_workers,
+                    prefetch_batches=prefetch_batches)
+
+    trainer = SelfGuidedDiffusionTrainer(
+        condition_method="cluster", cond_dim=k, cond_scale=2.0,
+        cond_drop_prob=0.1,
+        dynamic={
+            "target": "sgdm_tpu.models.UNetModel",
+            "params": dict(
+                model_channels=channels, out_channels=3, num_res_blocks=2,
+                channel_mult=[1, 2, 4], attention_resolutions=[4],
+                num_heads=8, use_scale_shift_norm=True, resblock_updown=True,
+                dropout=0.1, cond_dim=k, use_pallas=use_pallas,
+            ),
+        },
+        diffusion_model={
+            "target": "sgdm_tpu.diffusion.GaussianDiffusion",
+            "params": {"num_timesteps": 1000},
+        },
+        optim={"name": "adamw", "params": {"lr": 1e-4, "wd": 0.01},
+               "scheduler_config": "default"},
+        pl={"trainer": {"strategy": None}},  # single chip, like bench_train
+        compute_dtype="bfloat16",
+        log_dir=tempfile.mkdtemp(prefix="sgdm_e2e_"),
+    )
+
+    it_logs: list[float] = []
+
+    class _CaptureTracker:
+        def log(self, d, step=None):
+            if "train/iters_per_sec" in d:
+                it_logs.append(float(d["train/iters_per_sec"]))
+
+        def log_images(self, *a, **kw):
+            pass
+
+        def finish(self):
+            pass
+
+    class _NoCkpt:
+        def save_last(self, *a, **kw):
+            return None
+
+        def wait_until_finished(self):
+            pass
+
+        def restore(self, *a, **kw):
+            raise RuntimeError("bench never restores")
+
+    trainer.tracker = _CaptureTracker()
+    trainer.ckpt = _NoCkpt()
+    trainer.fit(_SingleLoaderDM(dl), max_epochs=1,
+                limit_train_batches=int(iters),
+                log_every_n_steps=int(log_every),
+                fid_every_n_epoch=10 ** 9, vis_every_iter=10 ** 9)
+    assert len(it_logs) >= 3, it_logs
+    steady = sorted(it_logs[2:])
+    med = steady[len(steady) // 2]
+    return med * batch_size, it_logs
+
+
+class _SingleLoaderDM:
+    """Minimal datamodule shim for bench_e2e (train loader only)."""
+
+    def __init__(self, dl):
+        self._dl = dl
+
+    def train_dataloader(self):
+        return self._dl
+
+    def val_dataloader(self):
+        raise KeyError("bench_e2e has no val loader")
+
+
 def _feat_isolated(quick: bool) -> float | None:
     """bench_feat in a FRESH process.
 
@@ -170,12 +322,21 @@ def _feat_isolated(quick: bool) -> float | None:
     try:
         out = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=1200, env=env)
-        for line in out.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{"):
-                return float(json.loads(line)["value"])
     except Exception:
-        pass
+        return None
+    # per-line parse: a stray '{'-prefixed log line (or a malformed one)
+    # must not abandon a later valid metric line
+    for line in out.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("metric") == "feat_extract_imgs_per_sec" \
+                and rec.get("value") is not None:
+            return float(rec["value"])
     return None
 
 
@@ -188,6 +349,12 @@ def main() -> None:
     p.add_argument("--feat-only", action="store_true",
                    help="feat-extraction metric only (used by the main run "
                         "to measure it in a fresh process)")
+    p.add_argument("--e2e-only", action="store_true",
+                   help="loader-fed END-TO-END training rate only: real "
+                        "DataLoader + h5cond lookups + native batchgather + "
+                        "trainer loop (vs the device-resident bare step)")
+    p.add_argument("--e2e-workers", type=int, default=8)
+    p.add_argument("--e2e-prefetch", type=int, default=4)
     p.add_argument("--all", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--pallas", action="store_true",
@@ -258,6 +425,27 @@ def main() -> None:
             "value": round(bench_feat(**fkw), 2),
             "unit": "imgs/sec",
             "vs_baseline": None,
+            "isolated": True,  # own process = the offline-batch-job model
+        }))
+        return
+
+    if args.e2e_only:
+        ekw = dict(num_workers=args.e2e_workers,
+                   prefetch_batches=args.e2e_prefetch)
+        if args.quick:
+            # 64 px even in quick mode: the in64pickle.h5 pack path (the
+            # format the flagship uses) only exists at size 64
+            ekw.update(batch_size=args.batch_size or 8, image_size=64,
+                       channels=32, iters=8, log_every=2)
+        elif args.batch_size:
+            ekw["batch_size"] = args.batch_size
+        sps_e2e, it_logs = bench_e2e(**ekw)
+        print(json.dumps({
+            "metric": "train_samples_per_sec_e2e_in64",
+            "value": round(sps_e2e, 2),
+            "unit": "samples/sec/chip",
+            "vs_baseline": round(sps_e2e / BASELINE_SAMPLES_PER_SEC, 3),
+            "iters_per_sec_windows": [round(v, 3) for v in it_logs],
         }))
         return
 
@@ -334,12 +522,17 @@ def main() -> None:
                 num_steps=10, reps=1) if args.quick else {})
     steps_ps, imgs_ps = bench_ddim(**skw)
     feat_ps = _feat_isolated(args.quick)
+    feat_isolated = feat_ps is not None
     if feat_ps is None:  # subprocess failed — measure in-process instead
         fkw = dict(batch_size=8, reps=1) if args.quick else {}
         feat_ps = bench_feat(**fkw)
     result["ddim_steps_per_sec"] = round(steps_ps, 2)
     result["ddim_imgs_per_sec"] = round(imgs_ps, 2)
     result["feat_extract_imgs_per_sec"] = round(feat_ps, 2)
+    # methodology tag (round-3 change): True = fresh-process measurement
+    # (~8-11 % higher than in-process after the train/DDIM programs) —
+    # keeps cross-round records distinguishable
+    result["feat_extract_isolated"] = feat_isolated
     print(json.dumps(result))
     print(json.dumps({
         "metric": "ddim_steps_per_sec",
@@ -353,6 +546,7 @@ def main() -> None:
         "value": round(feat_ps, 2),
         "unit": "imgs/sec",
         "vs_baseline": None,
+        "isolated": feat_isolated,
     }))
 
 

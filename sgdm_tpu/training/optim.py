@@ -16,7 +16,12 @@ from typing import Any, Mapping
 import jax.numpy as jnp
 import optax
 
-__all__ = ["lambda_linear_schedule", "create_optimizer"]
+__all__ = [
+    "lambda_linear_schedule",
+    "lambda_warmup_cosine_schedule",
+    "lambda_warmup_cosine_schedule2",
+    "create_optimizer",
+]
 
 
 def lambda_linear_schedule(
@@ -46,6 +51,82 @@ def lambda_linear_schedule(
     return schedule
 
 
+def lambda_warmup_cosine_schedule(
+    base_lr: float,
+    warm_up_steps: int,
+    lr_min: float,
+    lr_max: float,
+    lr_start: float,
+    max_decay_steps: int,
+) -> optax.Schedule:
+    """Parity: lr_scheduler.py:4-33 ``LambdaWarmUpCosineScheduler`` —
+    linear warmup lr_start→lr_max over warm_up_steps, then half-cosine
+    decay to lr_min over max_decay_steps (clamped flat after).  The
+    reference uses it as an LR *multiplier* ("use with a base_lr of 1.0");
+    pass ``base_lr`` accordingly."""
+    lr_min, lr_max, lr_start = map(float, (lr_min, lr_max, lr_start))
+    warm_up_steps, max_decay_steps = int(warm_up_steps), int(max_decay_steps)
+
+    def schedule(step):
+        n = jnp.asarray(step, dtype=jnp.float32)
+        warm = (lr_max - lr_start) / warm_up_steps * n + lr_start
+        t = jnp.minimum(
+            (n - warm_up_steps) / (max_decay_steps - warm_up_steps), 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(t * jnp.pi))
+        return float(base_lr) * jnp.where(n < warm_up_steps, warm, cos)
+
+    return schedule
+
+
+def lambda_warmup_cosine_schedule2(
+    base_lr: float,
+    warm_up_steps,
+    f_min,
+    f_max,
+    f_start,
+    cycle_lengths,
+) -> optax.Schedule:
+    """Parity: lr_scheduler.py:36-80 ``LambdaWarmUpCosineScheduler2`` —
+    repeated warmup+cosine cycles configured by per-cycle lists.  Interval
+    selection matches the reference's ``find_in_interval`` (``n <= cum``
+    boundary: the first step of cycle c+1 is the step AFTER cum_cycles[c+1],
+    i.e. boundary steps still belong to the earlier cycle)."""
+    import numpy as np
+
+    warm = np.asarray([int(w) for w in warm_up_steps])
+    fmin = np.asarray([float(f) for f in f_min])
+    fmax = np.asarray([float(f) for f in f_max])
+    fstart = np.asarray([float(f) for f in f_start])
+    lens = np.asarray([float(c) for c in cycle_lengths])
+    assert len(warm) == len(fmin) == len(fmax) == len(fstart) == len(lens)
+    cum = np.concatenate([[0.0], np.cumsum(lens)])
+    ncyc = len(lens)
+
+    def schedule(step):
+        n = jnp.asarray(step, dtype=jnp.float32)
+        # reference: first interval i with n <= cum[i+1]
+        cyc = jnp.clip(
+            jnp.sum(n > jnp.asarray(cum[1:], dtype=jnp.float32)), 0, ncyc - 1)
+        w = jnp.asarray(warm, dtype=jnp.float32)[cyc]
+        fm, fx = jnp.asarray(fmin)[cyc], jnp.asarray(fmax)[cyc]
+        fs = jnp.asarray(fstart)[cyc]
+        cl = jnp.asarray(lens, dtype=jnp.float32)[cyc]
+        nn = n - jnp.asarray(cum[:-1], dtype=jnp.float32)[cyc]
+        warm_f = (fx - fs) / w * nn + fs
+        t = jnp.minimum((nn - w) / (cl - w), 1.0)
+        cos_f = fm + 0.5 * (fx - fm) * (1 + jnp.cos(t * jnp.pi))
+        return float(base_lr) * jnp.where(nn < w, warm_f, cos_f)
+
+    return schedule
+
+
+_SCHEDULES = {
+    "lambda_linear": lambda_linear_schedule,
+    "lambda_warmup_cosine": lambda_warmup_cosine_schedule,
+    "lambda_warmup_cosine2": lambda_warmup_cosine_schedule2,
+}
+
+
 def create_optimizer(
     name: str = "adamw",
     lr: float = 1e-4,
@@ -61,6 +142,9 @@ def create_optimizer(
 
     ``scheduler``: None → constant lr; "default" or a params dict → the
     LambdaLinearScheduler with those params (config/optim/adamw.yaml).
+    A params dict may carry ``name`` ∈ {"lambda_linear",
+    "lambda_warmup_cosine", "lambda_warmup_cosine2"} to select the other
+    reference schedules (lr_scheduler.py:4,36); default "lambda_linear".
     ``grad_clip`` is an extension (the reference never clips); None = off.
     ``mu_dtype``: dtype for the first Adam moment (e.g. "bfloat16") — an
     HBM-traffic/memory knob (halves the μ stream of the weight-update
@@ -71,7 +155,8 @@ def create_optimizer(
         lr_schedule: Any = lr
     else:
         params = {} if scheduler == "default" else dict(scheduler)
-        lr_schedule = lambda_linear_schedule(lr, **params)
+        make = _SCHEDULES[params.pop("name", "lambda_linear")]
+        lr_schedule = make(lr, **params)
 
     mu = jnp.dtype(mu_dtype) if mu_dtype else None
     if name == "adamw":

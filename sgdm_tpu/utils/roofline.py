@@ -267,6 +267,13 @@ def audit_train_step(mode: str = "fused", batch_size: int = 192,
     total_bytes = sum(o.bytes for o in rows)
     total_out = sum(o.out_bytes for o in rows)
     total_ms = sum(o.ms for o in rows)
+    if measured_step_ms <= 0 or total_ms <= 0:
+        raise RuntimeError(
+            "empty trace/HLO intersection: "
+            f"step_ms={measured_step_ms:.3f}, matched-op ms={total_ms:.3f} "
+            f"({len(per_step)} traced ops vs {len(ops)} HLO ops) — the "
+            "profiler found no Steps line or no traced op matched an HLO "
+            "name; inspect the raw trace with utils/trace_summary.py")
     print(f"# mode={mode} bs={batch_size} ch={channels} {image_size}px — "
           f"{steps} traced steps, {measured_step_ms:.1f} ms/step "
           f"(sync-op sum {total_ms:.1f} ms)")
@@ -366,6 +373,13 @@ def audit_sample_step(batch_size: int = 64, num_steps: int = 50,
     total_bytes = sum(r[1] for r in rows)
     total_out = sum(r[2] for r in rows)
     total_ms = sum(r[3] for r in rows)
+    if total_ms <= 0:
+        raise RuntimeError(
+            "trace/HLO intersection is empty: no traced op matched an HLO "
+            f"name ({len(ms_by_name)} traced ops vs {len(ops)} HLO ops) — "
+            "the profiler plane may be empty (device not traced?) or the "
+            "HLO names are mangled differently from the trace's; inspect "
+            "the raw trace with utils/trace_summary.py")
     call_s = wall_ms / 1e3
     print(f"# DDIM sample: bs={batch_size} (CFG-doubled {2 * batch_size}) "
           f"steps={num_steps} ch={channels} {image_size}px "

@@ -106,12 +106,15 @@ def main() -> None:
 
     # ---- multi-host FID statistics reduction (SURVEY §5.8): each process
     # accumulates stats over ITS feature shard; after the collective both
-    # hold the global (n, mean, cov) — compare against the full-set answer
+    # hold the global (n, mean, cov) — compare against the full-set answer.
+    # Shard sizes are deliberately UNEVEN (5 vs 27): a real FID loop's tail
+    # batch never divides evenly across hosts
     from sgdm_tpu.eval.metrics import FeatureStats
 
     feats_global = np.random.default_rng(0).standard_normal((32, 6))
+    bounds = [0, 5, 32][: nproc + 1]
     mine = FeatureStats()
-    mine.append(feats_global[_process_slice(32, pid, nproc)])
+    mine.append(feats_global[bounds[pid]:bounds[pid + 1]])
     mine.reduce_across_processes()
     want = FeatureStats()
     want.append(feats_global)
@@ -120,6 +123,27 @@ def main() -> None:
     assert mine.n == 32
     np.testing.assert_allclose(mu_a, mu_b, atol=1e-6)
     np.testing.assert_allclose(cov_a, cov_b, atol=1e-6)
+
+    # ---- the ACTUAL FID-engine reduction path (eval/fid_engine.py:165
+    # `_mu_cov` → reduce_across_processes) driven by real inception
+    # features, with one process holding ZERO samples: rank 0 extracts
+    # features for all images, every other rank joins the collective
+    # empty (the empty-shard zeros branch must not hang or skew)
+    from sgdm_tpu.eval.fid_engine import InceptionExtractor, _mu_cov
+
+    imgs = np.random.default_rng(7).integers(
+        0, 255, (6, 8, 8, 3), dtype=np.uint8)
+    os.environ.pop("SGDM_INCEPTION_WEIGHTS", None)  # deterministic random net
+    ext = InceptionExtractor(weights_path=None, seed=0, batch_size=4)
+    assert not ext.pretrained
+    feats_all = ext.features_from_arrays(imgs, mode="bilinear")["pool3"]
+    local = feats_all if pid == 0 else feats_all[:0]
+    mu_g, cov_g = _mu_cov(local)  # collective inside
+    want2 = FeatureStats()
+    want2.append(feats_all)
+    mu_w, cov_w = want2.mean_cov()
+    np.testing.assert_allclose(mu_g, mu_w, atol=1e-6)
+    np.testing.assert_allclose(cov_g, cov_w, atol=1e-6)
 
     # ---- mini per-process FID sample-dir loop
     sample_dir = os.path.join(outdir, f"test_main{_process_suffix()}")

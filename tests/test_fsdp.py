@@ -255,6 +255,107 @@ class TestNumerics:
                                    rtol=1e-6)
 
 
+class TestCrossTopologyRestore:
+    """Checkpoint portability across device topologies (round-3 VERDICT #6):
+    the operation actually performed when scaling a pod run up/down or
+    debugging it on one chip.  orbax restores into whatever shardings the
+    template carries, so save-on-mesh-A → restore-on-B must be bit-exact
+    (values never depend on placement) and the next step must continue
+    identically."""
+
+    def _one_step(self, state0, batch, mesh=None, sh=None):
+        model, diffusion, tx, _, _ = _setup()
+        step = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                               mesh=mesh, state_shardings=sh)
+        b = shard_batch(batch, mesh) if mesh is not None else batch
+        return step, step(state0, b, jax.random.PRNGKey(1))
+
+    @staticmethod
+    def _assert_bit_equal(a_state, b_state):
+        la = jax.tree.leaves(jax.device_get(
+            (a_state.params, a_state.ema_params, a_state.opt_state,
+             a_state.step)))
+        lb = jax.tree.leaves(jax.device_get(
+            (b_state.params, b_state.ema_params, b_state.opt_state,
+             b_state.step)))
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_fsdp8_save_restores_on_single_device(self, tmp_path):
+        """Save on the 8-device FSDP mesh → restore on ONE device (the
+        scale-down/debug path): bit-equal state + identical next-step
+        loss through the plain single-device step."""
+        from sgdm_tpu.training.checkpoints import CheckpointManager
+
+        model, diffusion, tx, state0, batch = _setup()
+        mesh = create_mesh(cpu_devices())
+        sh = state_sharding(state0, mesh)
+        step_f = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                                 mesh=mesh, state_shardings=sh)
+        state = step_f(shard_train_state(state0, mesh),
+                       shard_batch(batch, mesh), jax.random.PRNGKey(1))[0]
+
+        mgr = CheckpointManager(tmp_path / "ck")
+        mgr.save_last(state, epoch=1)
+
+        # template on ONE device: fresh single-device state
+        _, _, _, template, _ = _setup()
+        dev0 = cpu_devices()[0]
+        template = jax.device_put(template, jax.sharding.SingleDeviceSharding(dev0))
+        restored = mgr.restore(template)
+        leaf = restored.params["backbone"]["mid_res1"]["in_conv"]["kernel"]
+        assert len(leaf.sharding.device_set) == 1
+        self._assert_bit_equal(state, restored)
+
+        # next step continues identically on the new topology
+        step_1 = make_train_step(model, diffusion, tx, cond_drop_prob=0.0)
+        _, m1 = step_1(restored, batch, jax.random.PRNGKey(5))
+        _, mf = step_f(state, shard_batch(batch, mesh),
+                       jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m1["loss"]), float(mf["loss"]),
+                                   rtol=1e-6)
+
+    def test_dptp_save_restores_on_fsdp_mesh(self, tmp_path):
+        """Save on the hybrid 4×2 dp×tp mesh → restore onto the 1-D
+        8-device FSDP mesh (a DIFFERENT mesh shape): bit-equal state +
+        identical next-step loss through the FSDP step."""
+        from sgdm_tpu.training.checkpoints import CheckpointManager
+
+        model, diffusion, tx, state0, batch = _setup()
+        devs = cpu_devices()
+        mesh_tp = Mesh(np.asarray(devs[:8]).reshape(4, 2),
+                       ("data", "model"))
+        sh_tp = state_sharding(state0, mesh_tp)
+        step_tp = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                                  mesh=mesh_tp, state_shardings=sh_tp)
+        state = step_tp(jax.device_put(state0, sh_tp),
+                        shard_batch(batch, mesh_tp),
+                        jax.random.PRNGKey(1))[0]
+        leaf = state.params["backbone"]["mid_res1"]["in_conv"]["kernel"]
+        assert leaf.sharding.spec == P(None, None, "data", "model")
+
+        mgr = CheckpointManager(tmp_path / "ck")
+        mgr.save_last(state, epoch=1)
+
+        _, _, _, template, _ = _setup()
+        mesh_f = create_mesh(devs)  # 1-D ('data',) × 8
+        restored = mgr.restore(shard_train_state(template, mesh_f))
+        rleaf = restored.params["backbone"]["mid_res1"]["in_conv"]["kernel"]
+        assert "model" not in str(rleaf.sharding.spec)
+        self._assert_bit_equal(state, restored)
+
+        sh_f = state_sharding(template, mesh_f)
+        step_f = make_train_step(model, diffusion, tx, cond_drop_prob=0.0,
+                                 mesh=mesh_f, state_shardings=sh_f)
+        _, m_f = step_f(restored, shard_batch(batch, mesh_f),
+                        jax.random.PRNGKey(5))
+        _, m_tp = step_tp(state, shard_batch(batch, mesh_tp),
+                          jax.random.PRNGKey(5))
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_tp["loss"]),
+                                   rtol=1e-6)
+
+
 class TestTrainerWiring:
     def test_trainer_fsdp_flag_shards_state(self, monkeypatch):
         """pl.trainer.fsdp=true → FSDP-sharded state through the trainer's
