@@ -33,6 +33,7 @@ _CKPT_NAMES = {
     "dino_vits8": "dino_deitsmall8_pretrain.pth",
     "dino_vitb16": "dino_vitbase16_pretrain.pth",
     "dino_vitb8": "dino_vitbase8_pretrain.pth",
+    "dino_xcit_m24_p8": "dino_xcit_medium_24_p8_pretrain.pth",
     "simclr_rn50": "simclr_imagenet.ckpt",
     "rn50": "resnet50-0676ba61.pth",  # torchvision IMAGENET1K_V1
 }
@@ -251,18 +252,6 @@ def get_ssl_backbone(
         "bf16", "bfloat16") else jnp.float32
     if ckpt_path and str(ckpt_path).endswith(".msgpack"):
         return _load_native_backbone(name, ckpt_path, image_size)
-    if name.startswith(("xcit", "dino_xcit")):
-        # reference zoo breadth (self_sl/ssl_backbone.py:129-171): the xcit
-        # variants are torch.hub fetches of the XCiT architecture, which has
-        # no JAX port here; none of the shipped configs / README experiments
-        # use them.  Fail with the remedy rather than a bare KeyError.
-        raise NotImplementedError(
-            f"ssl backbone '{name}': the XCiT architecture is not ported "
-            "(reference loads it from torch.hub, self_sl/ssl_backbone.py:"
-            "129-171, unusable in this zero-egress image). Use a ViT "
-            "backbone (dino_vits16/dino_vitb16/...) or contribute an XCiT "
-            "port in sgdm_tpu/models/ plus a loader here."
-        )
     if name.startswith("timm_"):
         return _timm_backbone(name, image_size)
     if name.startswith("vissl_"):
@@ -273,8 +262,13 @@ def get_ssl_backbone(
             "or use a native backbone (dino_*/mae_*/msn_*/simclr_rn50)."
         )
     from ..models.resnet import ResNet50, load_simclr_torch_weights
+    from ..models.xcit import load_xcit_torch_weights, xcit_medium_24_p8
 
     builders = {
+        # XCiT port (reference arch zoo self_sl/ssl_backbone.py:114-118;
+        # torch.hub dino_xcit_medium_24_p8 checkpoints load via
+        # models/xcit.py load_xcit_torch_weights)
+        "dino_xcit_m24_p8": lambda: xcit_medium_24_p8(dtype=vit_dtype),
         "dino_vits16": lambda: vit_small(16, dtype=vit_dtype),
         "dino_vits8": lambda: vit_small(8, dtype=vit_dtype),
         "dino_vitb16": lambda: vit_base(16, dtype=vit_dtype),
@@ -296,9 +290,13 @@ def get_ssl_backbone(
     path = _find_ckpt(name, ckpt_path)
     if path:
         logger.info(f"loading {name} weights from {path}")
-        params = (load_simclr_torch_weights(path) if name in ("simclr_rn50", "rn50")
-                  else load_dino_torch_weights(path))
-        if name.startswith("dino_"):
+        if name in ("simclr_rn50", "rn50"):
+            params = load_simclr_torch_weights(path)
+        elif name == "dino_xcit_m24_p8":
+            params = load_xcit_torch_weights(path)
+        else:
+            params = load_dino_torch_weights(path)
+        if name.startswith("dino_") and "xcit" not in name:
             # first-use golden assertion against the torch ground truth
             # (utils.weight_verify; sidecar golden on later loads)
             from ..utils.weight_verify import verify_dino_load
