@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-__all__ = ["ResNet50", "load_simclr_torch_weights"]
+__all__ = ["ResNet50", "resnet101", "load_simclr_torch_weights",
+           "load_vissl_torch_weights"]
 
 
 class ConvBN(nn.Module):
@@ -87,15 +88,16 @@ class ResNet50(nn.Module):
         return 2048
 
 
-def load_simclr_torch_weights(path: str) -> dict:
-    """pl_bolts SimCLR checkpoint → ResNet50 params (BN folded, eps=1e-5)."""
-    import torch
+def resnet101() -> ResNet50:
+    """torchvision ResNet-101 trunk (the VISSL SimCLR-RN101 backbone,
+    self_sl/vissl_backbone.py:53-58); the class is bottleneck-generic
+    despite its name."""
+    return ResNet50(stage_sizes=(3, 4, 23, 3))
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt)
-    # strip the lightning 'encoder.' prefix; ignore projection head etc.
-    sd = {k[len("encoder."):]: v for k, v in sd.items()
-          if k.startswith("encoder.")} or sd
+
+def _map_torchvision_resnet(sd) -> dict:
+    """torchvision-named state dict → ResNet params (BN folded, eps=1e-5).
+    Stage sizes are inferred from the block indices present."""
 
     def convbn(conv_key, bn_key):
         w = sd[f"{conv_key}.weight"].numpy()
@@ -111,7 +113,12 @@ def load_simclr_torch_weights(path: str) -> dict:
         }
 
     params: dict = {"stem": convbn("conv1", "bn1")}
-    for stage, blocks in enumerate((3, 4, 6, 3)):
+    for stage in range(4):
+        blocks = 1 + max(
+            (int(k.split(".")[1]) for k in sd
+             if k.startswith(f"layer{stage + 1}.")), default=-1)
+        if blocks == 0:
+            raise KeyError(f"state dict has no layer{stage + 1}.* keys")
         for i in range(blocks):
             pre = f"layer{stage + 1}.{i}"
             blk = {
@@ -125,3 +132,47 @@ def load_simclr_torch_weights(path: str) -> dict:
                 )
             params[f"layer{stage + 1}_{i}"] = blk
     return params
+
+
+def load_simclr_torch_weights(path: str) -> dict:
+    """pl_bolts SimCLR checkpoint → ResNet50 params (BN folded, eps=1e-5)."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    # strip the lightning 'encoder.' prefix; ignore projection head etc.
+    sd = {k[len("encoder."):]: v for k, v in sd.items()
+          if k.startswith("encoder.")} or sd
+    return _map_torchvision_resnet(sd)
+
+
+def load_vissl_torch_weights(path: str) -> dict:
+    """VISSL / SwAV ResNet trunk checkpoint → ResNet params.
+
+    Parity: self_sl/vissl_backbone.py:36-91 — handles the two on-disk
+    layouts the reference's three zoo entries use:
+      * consolidated VISSL (`model_final_checkpoint_phase999.torch`,
+        `converted_vissl_rn50_jigsaw_in1k_goyal19.torch`):
+        `classy_state_dict.base_model.model.trunk._feature_blocks.*`,
+      * SwAV-style (`deepclusterv2_800ep_pretrain.pth.tar`): flat
+        `module.conv1.*` plus projection_head/prototypes (dropped — the
+        reference extracts trunk features only,
+        EXTRACT_TRUNK_FEATURES_ONLY=True).
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt
+    if isinstance(ckpt, dict) and "classy_state_dict" in ckpt:
+        sd = ckpt["classy_state_dict"]["base_model"]["model"]["trunk"]
+    elif isinstance(ckpt, dict) and "state_dict" in ckpt:
+        sd = ckpt["state_dict"]
+    flat = {}
+    for k, v in sd.items():
+        for pre in ("module.", "_feature_blocks."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        if k.startswith(("fc.", "head", "heads", "projection", "prototypes")):
+            continue
+        flat[k] = v
+    return _map_torchvision_resnet(flat)

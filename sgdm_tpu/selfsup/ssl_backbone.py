@@ -34,6 +34,10 @@ _CKPT_NAMES = {
     "dino_vitb16": "dino_vitbase16_pretrain.pth",
     "dino_vitb8": "dino_vitbase8_pretrain.pth",
     "dino_xcit_m24_p8": "dino_xcit_medium_24_p8_pretrain.pth",
+    # the three VISSL zoo checkpoints (vissl_backbone.py:53-72 wget names)
+    "vissl_simclr": "model_final_checkpoint_phase999.torch",
+    "vissl_deepclusterv2": "deepclusterv2_800ep_pretrain.pth.tar",
+    "vissl_jigsaw": "converted_vissl_rn50_jigsaw_in1k_goyal19.torch",
     "simclr_rn50": "simclr_imagenet.ckpt",
     "rn50": "resnet50-0676ba61.pth",  # torchvision IMAGENET1K_V1
 }
@@ -254,17 +258,17 @@ def get_ssl_backbone(
         return _load_native_backbone(name, ckpt_path, image_size)
     if name.startswith("timm_"):
         return _timm_backbone(name, image_size)
-    if name.startswith("vissl_"):
-        raise NotImplementedError(
-            f"ssl backbone '{name}': VISSL is not installed (reference shim "
-            "self_sl/vissl_backbone.py:20 requires the VISSL+classy_vision "
-            "stack). Install vissl and extend _timm_backbone-style loading, "
-            "or use a native backbone (dino_*/mae_*/msn_*/simclr_rn50)."
-        )
-    from ..models.resnet import ResNet50, load_simclr_torch_weights
+    from ..models.resnet import (ResNet50, load_simclr_torch_weights,
+                                 load_vissl_torch_weights, resnet101)
     from ..models.xcit import load_xcit_torch_weights, xcit_medium_24_p8
 
     builders = {
+        # VISSL zoo (self_sl/vissl_backbone.py:53-72): ResNet trunks,
+        # trunk-features-only — loaded natively from the same checkpoint
+        # files the reference wgets (no vissl/classy_vision stack needed)
+        "vissl_simclr": resnet101,          # RN101 simclr_8node_resnet
+        "vissl_deepclusterv2": ResNet50,    # SwAV-format RN50
+        "vissl_jigsaw": ResNet50,           # converted VISSL RN50
         # XCiT port (reference arch zoo self_sl/ssl_backbone.py:114-118;
         # torch.hub dino_xcit_medium_24_p8 checkpoints load via
         # models/xcit.py load_xcit_torch_weights)
@@ -292,6 +296,8 @@ def get_ssl_backbone(
         logger.info(f"loading {name} weights from {path}")
         if name in ("simclr_rn50", "rn50"):
             params = load_simclr_torch_weights(path)
+        elif name.startswith("vissl_"):
+            params = load_vissl_torch_weights(path)
         elif name == "dino_xcit_m24_p8":
             params = load_xcit_torch_weights(path)
         else:

@@ -10,15 +10,13 @@ from sgdm_tpu.eval.harness import _ds_vis_params
 from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
 
 
-def test_xcit_shim_errors_informatively():
-    with pytest.raises(NotImplementedError, match="XCiT"):
+def test_unknown_backbone_names_error_informatively():
+    # xcit/vissl are real ports now (models/xcit.py, models/resnet.py
+    # load_vissl_torch_weights); unsupported VARIANTS must still fail with
+    # the supported list rather than a bare KeyError
+    with pytest.raises(ValueError, match="dino_xcit_m24_p8"):
         get_ssl_backbone("xcit_small_12_p16")
-    with pytest.raises(NotImplementedError, match="torch.hub"):
-        get_ssl_backbone("dino_xcit_medium_24_p8")
-
-
-def test_vissl_shim_errors_informatively():
-    with pytest.raises(NotImplementedError, match="VISSL"):
+    with pytest.raises(ValueError, match="vissl_simclr"):
         get_ssl_backbone("vissl_resnet18")
 
 

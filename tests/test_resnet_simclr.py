@@ -39,14 +39,14 @@ class TBottleneck(tnn.Module):
 
 
 class TResNet50(tnn.Module):
-    """torchvision resnet50 layout (the pl_bolts SimCLR encoder trunk)."""
+    """torchvision resnet layout (the pl_bolts SimCLR encoder trunk)."""
 
-    def __init__(self):
+    def __init__(self, stage_sizes=(3, 4, 6, 3)):
         super().__init__()
         self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
         self.bn1 = tnn.BatchNorm2d(64)
         cin, planes = 64, 64
-        for stage, blocks in enumerate((3, 4, 6, 3)):
+        for stage, blocks in enumerate(stage_sizes):
             layers = []
             for i in range(blocks):
                 stride = 2 if (stage > 0 and i == 0) else 1
@@ -96,6 +96,72 @@ def test_simclr_resnet_roundtrip(tmp_path):
                                jnp.asarray(x.transpose(0, 2, 3, 1))))
     assert ours.shape == (2, 2048)
     np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-4)
+
+
+def _randomized_trunk(stage_sizes=(3, 4, 6, 3), seed=0):
+    tm = TResNet50(stage_sizes).eval()
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for prm in tm.parameters():
+            prm.copy_(torch.randn(prm.shape, generator=g) * 0.05)
+        for mod in tm.modules():
+            if isinstance(mod, tnn.BatchNorm2d):
+                mod.running_mean.copy_(
+                    torch.randn(mod.running_mean.shape, generator=g) * 0.1)
+                mod.running_var.copy_(
+                    torch.rand(mod.running_var.shape, generator=g) + 0.5)
+    return tm
+
+
+def _assert_parity(tm, model, params):
+    import jax.numpy as jnp
+
+    x = np.random.default_rng(1).standard_normal((2, 3, 64, 64)).astype("f4")
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x)).numpy()
+    ours = np.asarray(model.apply({"params": params},
+                                  jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=2e-4)
+
+
+def test_vissl_consolidated_roundtrip(tmp_path):
+    """Consolidated VISSL layout (jigsaw/simclr .torch files):
+    classy_state_dict.base_model.model.trunk._feature_blocks.* — parity
+    vs self_sl/vissl_backbone.py:36-91 trunk-features-only extraction."""
+    from sgdm_tpu.models.resnet import ResNet50, load_vissl_torch_weights
+
+    tm = _randomized_trunk()
+    trunk = {f"_feature_blocks.{k}": v for k, v in tm.state_dict().items()}
+    pth = tmp_path / "converted_vissl_rn50_jigsaw_in1k_goyal19.torch"
+    torch.save({"classy_state_dict": {"base_model": {"model": {
+        "trunk": trunk}}}}, pth)
+    _assert_parity(tm, ResNet50(), load_vissl_torch_weights(str(pth)))
+
+
+def test_vissl_swav_roundtrip_rn101(tmp_path):
+    """SwAV/deepclusterv2 layout: flat module.* keys plus projection head
+    and prototypes (must be dropped); RN101 stage sizes inferred from the
+    block indices (vissl_simclr is an RN101, vissl_backbone.py:53-58)."""
+    from sgdm_tpu.models.resnet import load_vissl_torch_weights, resnet101
+
+    tm = _randomized_trunk(stage_sizes=(3, 4, 23, 3))
+    sd = {f"module.{k}": v for k, v in tm.state_dict().items()}
+    sd["module.projection_head.0.weight"] = torch.zeros(2, 2048)
+    sd["module.prototypes.weight"] = torch.zeros(3, 2)
+    pth = tmp_path / "deepclusterv2_800ep_pretrain.pth.tar"
+    torch.save(sd, pth)
+    _assert_parity(tm, resnet101(), load_vissl_torch_weights(str(pth)))
+
+
+def test_vissl_backbone_interface():
+    from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
+
+    bb = get_ssl_backbone("vissl_deepclusterv2", image_size=64)
+    assert bb.feat_dim == 2048
+    imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3),
+                                             dtype=np.uint8)
+    feats = bb.batch_encode_feat(bb.transform_batch(imgs))
+    assert feats.shape == (2, 2048) and np.isfinite(feats).all()
 
 
 def test_simclr_backbone_interface():
