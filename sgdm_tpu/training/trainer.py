@@ -412,6 +412,12 @@ class SelfGuidedDiffusionTrainer:
             # epoch boundary: flush the deferred train-log record (the
             # np.concatenate below syncs the device anyway)
             self._emit_pending_train_log(epoch)
+            # Finalize the previous epoch's async 'last' save NOW (it had
+            # the whole epoch to commit, so this is ~free) instead of at
+            # the next save_last: validation/FID below can take minutes,
+            # and a crash there would otherwise resume one epoch earlier
+            # than necessary (meta.last would still name epoch N-2).
+            self.ckpt.wait_until_finished()
             # loss-vs-t scatter, binned (wandb_utils.vis_timestep_loss parity)
             if stats_x:
                 x = np.concatenate([np.asarray(s) for s in stats_x])
