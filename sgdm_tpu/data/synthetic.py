@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["SyntheticImages"]
+__all__ = ["SyntheticImages", "SyntheticSegImages"]
 
 
 class SyntheticImages:
@@ -64,3 +64,51 @@ class SyntheticImages:
             "id": np.int64(i),
             "img4unsup": (img01 * 255).astype(np.uint8),
         }
+
+
+class SyntheticSegImages(SyntheticImages):
+    """Blobs + aligned segmentation layouts: the layout-method fixture.
+
+    Extends the batch contract with every layout-conditioning key the
+    complex datasets emit (`data/complex_base.py:142-160`): `segmask` /
+    `stegomask` one-hots [H,W,K], `attr` / `stego_attr` n-hots, `cluster`
+    one-hot, and `lostbboxmask` [H,W,1] — all derived from the same blob
+    geometry (mask id = label+1 where the blob exceeds a threshold, box =
+    the mask's bounding box), so layout-guided smoke training
+    (clusterlayout / stegoclusterlayout / layout) runs with zero
+    downloads.  `id2name` via the mask id also lands in `raw_mask` for
+    tests that need the pre-one-hot ids.
+    """
+
+    def __init__(self, *, stego_k: int | None = None,
+                 cluster_k: int | None = None, **kw):
+        super().__init__(**kw)
+        self.stego_k = stego_k or self.num_classes + 1
+        self.cluster_k = cluster_k or self.num_classes
+
+    def __getitem__(self, i: int) -> dict:
+        out = super().__getitem__(i)
+        label = i % self.num_classes
+        s = self.size
+        blob = (np.asarray(out["image"][..., 0]) + 1) / 2
+        mask = np.zeros((s, s), np.int64)
+        mask_id = 1 + label % (self.stego_k - 1)
+        mask[blob > 0.55] = mask_id
+        ys, xs = np.nonzero(mask)
+        if len(ys):
+            bbox = np.asarray([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
+        else:  # degenerate sample: full-image box
+            bbox = np.asarray([0, 0, s, s])
+        eye = np.eye(self.stego_k, dtype=np.float32)
+        onehot = eye[mask]
+        nhot = np.zeros((self.stego_k,), np.float32)
+        nhot[np.unique(mask)] = 1.0
+        cl = np.zeros((self.cluster_k,), np.float32)
+        cl[label % self.cluster_k] = 1.0
+        lost = np.zeros((s, s, 1), np.float32)
+        lost[bbox[1]:bbox[3], bbox[0]:bbox[2], 0] = 1.0
+        out.update(
+            raw_mask=mask, segmask=onehot, stegomask=onehot,
+            attr=nhot, stego_attr=nhot, cluster=cl, lostbboxmask=lost,
+        )
+        return out

@@ -10,9 +10,20 @@ step, fused Pallas forward kernels), and write PNGs.
     python -m sgdm_tpu.generate --run outputs/myrun --n 64 \
         --sampler ddim --steps 250 --labels 3,7,123 --out samples/
 
-Works for the vector-conditioned methods (label / cluster / centroid …);
-layout-conditioned models (segmentation masks, LOST boxes) need real
-per-image layouts — use the eval harness with a dataset for those.
+Vector-conditioned methods (label / cluster / centroid …) sample from
+`--labels` or random ids.  Layout-conditioned methods take their
+per-image layouts from the CLI too:
+
+  * ``--mask-dir DIR`` — id-pixel mask PNGs (STEGO outputs or GT
+    segmasks), nearest-resized to the sample size and one-hot encoded
+    exactly like the training pipeline (`data/transforms.py
+    segmask_to_onehot` / `mask_to_attr_nhot`); `stegoclusterlayout`
+    additionally derives its `stego_attr` n-hot cond from the mask.
+  * ``--boxes "x0,y0,x1,y1[;…]"`` — LOST-style boxes (sample-pixel
+    coords) → binary bbox-mask layouts for `clusterlayout how=lost`,
+    with `--labels` supplying the box-cluster ids.
+
+Masks/boxes are cycled over the batch like `--labels`.
 """
 
 from __future__ import annotations
@@ -42,7 +53,10 @@ def _load_trainer(run_dir: Path):
     cfg = yaml.safe_load(cfg_path.read_text())
     # generation is single-program; no need for the training mesh
     (cfg.setdefault("pl", {}).setdefault("trainer", {}))["strategy"] = None
-    return SelfGuidedDiffusionTrainer(**cfg)
+    trainer = SelfGuidedDiffusionTrainer(**cfg)
+    # the run's native resolution — the --image-size default
+    trainer.run_image_size = int((cfg.get("data") or {}).get("image_size", 64))
+    return trainer
 
 
 def _resolve_ckpt(run_dir: Path, which: str) -> Path:
@@ -62,6 +76,72 @@ def _resolve_ckpt(run_dir: Path, which: str) -> Path:
     return CheckpointManager.resolve(which)
 
 
+def _build_layouts(trainer, method: str, n: int, image_size: int,
+                   mask_dir, boxes, labels, cond_dim: int):
+    """Per-sample layout batch [n,H,W,C] (+ attr conds for stego).
+
+    Mirrors the training pipeline's encodings (`data/complex_base.py:
+    142-160`): stego/GT masks → `segmask_to_onehot` (+ `mask_to_attr_nhot`
+    for the stego_attr cond), LOST boxes → binary bbox masks
+    (`data/transforms.py:114`).
+    """
+    from .data.transforms import (bbox_to_mask, mask_to_attr_nhot,
+                                  segmask_to_onehot)
+
+    mcfg = (trainer.condition_cfg or {}).get(method) or {}
+    how = mcfg.get("how", "stego" if method == "stegoclusterlayout"
+                   else "lost")
+    needs_masks = method == "stegoclusterlayout" or how in ("oracle", "stego")
+
+    if needs_masks:
+        if not mask_dir:
+            raise SystemExit(
+                f"condition_method={method!r} (how={how!r}) needs id-pixel "
+                "mask PNGs — pass --mask-dir (STEGO outputs or GT segmasks)")
+        from PIL import Image
+        paths = sorted(Path(mask_dir).glob("*.png"))
+        if not paths:
+            raise SystemExit(f"no .png masks in {mask_dir}")
+        layout_dim = int(mcfg.get("layout_dim")
+                         or mcfg.get("stego_k") or cond_dim or 0)
+        if layout_dim <= 0:
+            raise SystemExit(f"{method}: layout_dim unset in the run config")
+        layouts, attrs = [], []
+        for i in range(n):
+            img = Image.open(paths[i % len(paths)])
+            if img.size != (image_size, image_size):
+                img = img.resize((image_size, image_size), Image.NEAREST)
+            m = np.asarray(img)
+            if m.ndim == 3:
+                m = m[..., 0]
+            if int(m.max()) >= layout_dim and int(m.max()) != 255:
+                raise SystemExit(
+                    f"{paths[i % len(paths)].name}: mask id {int(m.max())} "
+                    f">= layout_dim {layout_dim}")
+            layouts.append(segmask_to_onehot(m, layout_dim))
+            if method == "stegoclusterlayout":
+                attrs.append(mask_to_attr_nhot(m, cond_dim or layout_dim))
+        return (np.stack(layouts),
+                np.stack(attrs) if attrs else None)
+
+    # how == "lost": binary bbox masks
+    if not boxes:
+        raise SystemExit(
+            f"condition_method={method!r} how=lost needs boxes — pass "
+            '--boxes "x0,y0,x1,y1[;...]" in sample-pixel coordinates '
+            "(box-cluster ids via --labels)")
+    parsed = []
+    for spec in boxes.split(";"):
+        b = np.asarray([float(v) for v in spec.split(",")])
+        if b.shape != (4,):
+            raise SystemExit(f"bad box {spec!r} — want x0,y0,x1,y1")
+        parsed.append(b)
+    layouts = [bbox_to_mask((image_size, image_size),
+                            parsed[i % len(parsed)])[..., None]
+               .astype(np.float32) for i in range(n)]
+    return np.stack(layouts), None
+
+
 def generate(
     run_dir: str | Path,
     *,
@@ -72,10 +152,12 @@ def generate(
     steps: int = 250,
     cond_scale: float | None = None,
     labels: list[int] | None = None,
-    image_size: int = 64,
+    image_size: int | None = None,
     seed: int = 0,
     use_ema: bool = True,
     out_dir: str | Path = "samples",
+    mask_dir: str | Path | None = None,
+    boxes: str | None = None,
 ) -> list[Path]:
     """Sample ``n`` images from the run's checkpoint; returns PNG paths."""
     import jax
@@ -86,16 +168,21 @@ def generate(
     run_dir = Path(run_dir)
     trainer = _load_trainer(run_dir)
     method = trainer.condition_method
-    if method in _LAYOUT_METHODS:
-        raise NotImplementedError(
-            f"condition_method={method!r} needs per-image layouts; use the "
-            "eval harness (main.py train=0 resume_from=...) with a dataset")
+    if image_size is None:  # default: the resolution the run trained at
+        image_size = trainer.run_image_size
 
     cond_dim = int(trainer.cond_dim or 0)
+    layouts = attr_conds = None
+    if method in _LAYOUT_METHODS:
+        layouts, attr_conds = _build_layouts(
+            trainer, method, n, image_size, mask_dir, boxes, labels, cond_dim)
+
     bs = min(batch_size or n, n)
     example = {"image": jnp.zeros((1, image_size, image_size, 3))}
     if cond_dim:
         example["cond"] = jnp.zeros((1, cond_dim))
+    if layouts is not None:
+        example["layout"] = jnp.zeros((1, *layouts.shape[1:]))
     trainer._init_state(example)
     path = _resolve_ckpt(run_dir, ckpt)
     state = _restore(trainer, path)
@@ -121,8 +208,10 @@ def generate(
     while made < n:
         b = min(bs, n - made)
         rng, krng, crng = jax.random.split(rng, 3)
-        cond = None
-        if cond_dim:
+        cond = ids = None
+        if attr_conds is not None:  # stegoclusterlayout: n-hot from masks
+            cond = jnp.asarray(attr_conds[made:made + b])
+        elif cond_dim:
             if labels:
                 ids = np.asarray([labels[(made + j) % len(labels)]
                                   for j in range(b)])
@@ -132,11 +221,14 @@ def generate(
                 ids = np.asarray(
                     jax.random.randint(crng, (b,), 0, cond_dim))
             cond = jax.nn.one_hot(jnp.asarray(ids), cond_dim)
-        imgs, _ = sample(params, krng, b, image_size, 3, cond=cond)
+        layout = (jnp.asarray(layouts[made:made + b])
+                  if layouts is not None else None)
+        imgs, _ = sample(params, krng, b, image_size, 3, cond=cond,
+                         layout=layout)
         imgs = np.asarray(imgs)  # uint8 NHWC
         for j in range(b):
             name = f"{made + j:06d}"
-            if cond_dim:
+            if ids is not None:
                 name += f"_c{int(ids[j])}"
             p = out / f"{name}.png"
             Image.fromarray(imgs[j]).save(p)
@@ -171,17 +263,26 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--labels", default=None,
                     help="comma-separated condition ids, cycled over the "
                          "batch (default: random)")
-    ap.add_argument("--image-size", type=int, default=64)
+    ap.add_argument("--image-size", type=int, default=None,
+                    help="sample resolution (default: the run's "
+                         "data.image_size from config.yaml)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--no-ema", action="store_true",
                     help="sample the raw params instead of the EMA shadow")
     ap.add_argument("--out", default="samples")
+    ap.add_argument("--mask-dir", default=None,
+                    help="id-pixel mask PNGs for layout-conditioned runs "
+                         "(STEGO outputs / GT segmasks), cycled over n")
+    ap.add_argument("--boxes", default=None,
+                    help='LOST boxes "x0,y0,x1,y1[;...]" in sample-pixel '
+                         "coords for clusterlayout how=lost")
     a = ap.parse_args(argv)
     labels = [int(x) for x in a.labels.split(",")] if a.labels else None
     generate(a.run, n=a.n, batch_size=a.batch_size, ckpt=a.ckpt,
              sampler=a.sampler, steps=a.steps, cond_scale=a.cond_scale,
              labels=labels, image_size=a.image_size, seed=a.seed,
-             use_ema=not a.no_ema, out_dir=a.out)
+             use_ema=not a.no_ema, out_dir=a.out, mask_dir=a.mask_dir,
+             boxes=a.boxes)
 
 
 if __name__ == "__main__":

@@ -32,3 +32,111 @@ def test_generate_from_run_dir(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="labels"):
         generate(run, n=1, steps=2, labels=[99], image_size=8,
                  out_dir=tmp_path / "s2")
+
+
+def make_layout_trainer(tmp_path, method="stegoclusterlayout", k=5,
+                        cluster_k=4, seed=23):
+    from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
+
+    if method == "stegoclusterlayout":
+        cond_dim, condition = k, {"stegoclusterlayout": {
+            "how": "stego", "layout_dim": k, "stego_k": k}}
+    else:  # clusterlayout how=lost
+        cond_dim, condition = cluster_k, {"clusterlayout": {
+            "how": "lost", "layout_dim": 1}}
+    return SelfGuidedDiffusionTrainer(
+        condition_method=method, cond_dim=cond_dim, cond_scale=2.0,
+        cond_drop_prob=0.1, condition=condition,
+        dynamic={
+            "target": "sgdm_tpu.models.UNetCAModel",
+            "params": dict(
+                model_channels=16, out_channels=3, num_res_blocks=1,
+                channel_mult=[1, 2], attention_resolutions=[2],
+                num_heads=2, cond_dim=cond_dim, cond_token_num=1,
+                context_dim=8, condition_method=method,
+            ),
+        },
+        diffusion_model={
+            "target": "sgdm_tpu.diffusion.GaussianDiffusion",
+            "params": {"num_timesteps": 20},
+        },
+        optim={"name": "adamw", "params": {"lr": 1e-4},
+               "scheduler_config": None},
+        pl={"trainer": {"strategy": None}},
+        compute_dtype="float32",
+        log_dir=tmp_path,
+        seed=seed,
+    )
+
+
+def make_seg_dm(k=5, cluster_k=4):
+    from sgdm_tpu.data.datamodule import DataModuleFromConfig
+
+    ds = {
+        "target": "sgdm_tpu.data.synthetic.SyntheticSegImages",
+        "params": dict(size=8, num_classes=4, length=16, stego_k=k,
+                       cluster_k=cluster_k),
+    }
+    return DataModuleFromConfig(batch_size=8, train=ds, num_workers=0)
+
+
+def test_generate_stegoclusterlayout_from_masks(tmp_path, monkeypatch):
+    """Layout-conditioned generation from a mask-PNG dir (the path the
+    round-3 verdict flagged as generate.py's NotImplementedError)."""
+    monkeypatch.setenv("SGDM_FORCE_CPU", "1")
+    run = tmp_path / "run"
+    trainer = make_layout_trainer(run, "stegoclusterlayout", k=5)
+    trainer.fit(make_seg_dm(k=5), max_epochs=1)
+
+    # id-pixel mask PNGs like selfsup/stego.py writes (16px: exercises the
+    # nearest-resize to the 8px sample size too)
+    from sgdm_tpu.data.synthetic import SyntheticSegImages
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    ds = SyntheticSegImages(size=16, num_classes=4, length=3, stego_k=5)
+    for i in range(3):
+        Image.fromarray(ds[i]["raw_mask"].astype(np.uint8), "L").save(
+            mask_dir / f"m{i}.png")
+
+    paths = generate(run, n=3, batch_size=2, ckpt="last", sampler="ddim",
+                     steps=2, image_size=8, out_dir=tmp_path / "s",
+                     mask_dir=mask_dir)
+    assert len(paths) == 3
+    img = np.asarray(Image.open(paths[0]))
+    assert img.shape == (8, 8, 3) and img.dtype == np.uint8
+
+
+def test_generate_clusterlayout_from_boxes(tmp_path, monkeypatch):
+    monkeypatch.setenv("SGDM_FORCE_CPU", "1")
+    run = tmp_path / "run"
+    trainer = make_layout_trainer(run, "clusterlayout", cluster_k=4)
+    trainer.fit(make_seg_dm(cluster_k=4), max_epochs=1)
+
+    paths = generate(run, n=2, ckpt="last", sampler="ddim", steps=2,
+                     image_size=8, out_dir=tmp_path / "s",
+                     boxes="1,1,5,6;2,0,7,4", labels=[2, 3])
+    assert sorted(p.name for p in paths) == ["000000_c2.png",
+                                             "000001_c3.png"]
+
+
+def test_generate_layout_error_paths(tmp_path, monkeypatch):
+    import pytest
+
+    monkeypatch.setenv("SGDM_FORCE_CPU", "1")
+    run = tmp_path / "run"
+    trainer = make_layout_trainer(run, "stegoclusterlayout", k=5)
+    trainer.fit(make_seg_dm(k=5), max_epochs=1)
+
+    with pytest.raises(SystemExit, match="mask-dir"):
+        generate(run, n=1, steps=2, image_size=8, out_dir=tmp_path / "s1")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no .png"):
+        generate(run, n=1, steps=2, image_size=8, out_dir=tmp_path / "s2",
+                 mask_dir=empty)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    Image.fromarray(np.full((8, 8), 99, np.uint8), "L").save(bad / "b.png")
+    with pytest.raises(SystemExit, match="layout_dim"):
+        generate(run, n=1, steps=2, image_size=8, out_dir=tmp_path / "s3",
+                 mask_dir=bad)
