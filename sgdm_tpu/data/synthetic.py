@@ -93,7 +93,10 @@ class SyntheticSegImages(SyntheticImages):
         blob = (np.asarray(out["image"][..., 0]) + 1) / 2
         mask = np.zeros((s, s), np.int64)
         mask_id = 1 + label % (self.stego_k - 1)
-        mask[blob > 0.55] = mask_id
+        # relative threshold: channel-0 blob amplitude varies by class
+        # (0.5/0.75/1.0 per label%3), so an absolute cut would leave the
+        # dimmest classes with noise-pixel masks instead of blob regions
+        mask[blob > 0.6 * blob.max()] = mask_id
         ys, xs = np.nonzero(mask)
         if len(ys):
             bbox = np.asarray([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])

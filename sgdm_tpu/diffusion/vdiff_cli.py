@@ -199,7 +199,11 @@ _METHODS = ("ddpm", "ddim", "prk", "plms", "pie", "plms2", "iplms")
 def run_sampler(method: str, model_fn, x, steps, eta: float = 0.0,
                 rng=None, is_reverse: bool = False):
     if method == "ddpm":
-        assert not is_reverse
+        if is_reverse:
+            raise SystemExit(
+                "ddpm is stochastic ancestral sampling and cannot be "
+                "reversed — use a deterministic method (ddim/prk/plms/"
+                "pie/plms2/iplms) for modify-image")
         return vo.v_sample(model_fn, x, steps, 1.0, rng)
     if method == "ddim":
         if is_reverse:
@@ -222,7 +226,11 @@ class ClipEncoderProtocol:
     Methods: ``encode_text(list[str]) -> np[n, D]`` (host-side is fine);
     ``encode_image_fn(imgs_nhwc_01) -> [n, D]`` — a JAX-traceable,
     differentiable callable (required for clip-sample guidance;
-    cfg-sample image prompts only call it forward).
+    cfg-sample image prompts only call it forward).  Inputs are ALWAYS
+    RGB in [0,1]; the encoder applies its own pixel normalization (the
+    CLIP mean/std the reference bakes into its preprocessing,
+    clip_sample.py:141-142) — both the image-prompt path and the
+    guidance-loss cutout path feed [0,1] pixels.
     """
 
 
@@ -292,40 +300,38 @@ def _get_model(args):
     return model, meta, side_x, side_y
 
 
-def _load_params(args, model, meta):
-    """Expensive half: checkpoint read / random init (after arg checks,
-    so a missing encoder fails before a 0.6B-param init)."""
+def _resolve_checkpoint(args):
+    """--checkpoint → existing path, or None for random:<seed> init."""
     ckpt = args.checkpoint
     if ckpt and str(ckpt).startswith("random:"):
-        seed = int(str(ckpt).split(":", 1)[1])
-        h = w = 64 if meta.clip_dim else 32  # tiny init shapes; params are size-free
-        x0 = jnp.zeros((1, h, w, 3), jnp.float32)
-        a = (x0, jnp.zeros((1,), jnp.float32))
-        if meta.clip_dim:
-            a = a + (jnp.zeros((1, meta.clip_dim), jnp.float32),)
-        params = model.init(jax.random.PRNGKey(seed), *a)
-    else:
-        if not ckpt:
-            ckpt = Path(f"checkpoints/{args.model}.pth")
-        if not Path(ckpt).exists():
-            raise SystemExit(
-                f"checkpoint {ckpt} not found — pass --checkpoint PATH "
-                "(torch .pth) or --checkpoint random:<seed> for a smoke run")
-        params = load_vdiff_torch_checkpoint(args.model, str(ckpt))
-    return params
-
-
-def _checkpoint_exists(args):
-    """Arg-time validation so bad --checkpoint fails before embed work."""
-    ckpt = args.checkpoint
-    if ckpt and str(ckpt).startswith("random:"):
-        return
+        return None
     if not ckpt:
         ckpt = Path(f"checkpoints/{args.model}.pth")
     if not Path(ckpt).exists():
         raise SystemExit(
             f"checkpoint {ckpt} not found — pass --checkpoint PATH "
             "(torch .pth) or --checkpoint random:<seed> for a smoke run")
+    return ckpt
+
+
+def _load_params(args, model, meta):
+    """Expensive half: checkpoint read / random init (after arg checks,
+    so a missing encoder fails before a 0.6B-param init)."""
+    ckpt = _resolve_checkpoint(args)
+    if ckpt is None:
+        seed = int(str(args.checkpoint).split(":", 1)[1])
+        h = w = 64 if meta.clip_dim else 32  # tiny init shapes; params are size-free
+        x0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        a = (x0, jnp.zeros((1,), jnp.float32))
+        if meta.clip_dim:
+            a = a + (jnp.zeros((1, meta.clip_dim), jnp.float32),)
+        return model.init(jax.random.PRNGKey(seed), *a)
+    return load_vdiff_torch_checkpoint(args.model, str(ckpt))
+
+
+def _checkpoint_exists(args):
+    """Arg-time validation so bad --checkpoint fails before embed work."""
+    _resolve_checkpoint(args)
 
 
 def _schedule(meta, steps: int, for_modify: bool = False):
@@ -426,20 +432,20 @@ def _cmd_clip_sample(args):
         base_fn = lambda x, t: model.apply(params, x, t)
 
     if args.clip_guidance_scale:
-        enc = _require_encoder(encoder, "CLIP guidance (-cs > 0)")
+        enc = encoder  # validated above, before the expensive param load
         cut_size = enc.input_resolution
-        # CLIP's pixel normalization (clip_sample.py:141-142)
-        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
 
         def loss_fn(key, x, t, pred):
             b = x.shape[0]
             if min(pred.shape[1:3]) < 256:  # clip_sample.py:181-182
                 ph, pw = pred.shape[1] * 2, pred.shape[2] * 2
                 pred = jax.image.resize(pred, (b, ph, pw, 3), "linear")
+            # [0,1] cuts — pixel normalization (CLIP mean/std,
+            # clip_sample.py:141-142) is the encoder's job per
+            # ClipEncoderProtocol, same as the image-prompt path
             cuts = make_cutouts(key, (pred + 1) / 2, cut_size,
                                 args.cutn, args.cut_pow)
-            emb = enc.encode_image_fn((cuts - mean) / std)
+            emb = enc.encode_image_fn(cuts)
             emb = emb.reshape(args.cutn, b, -1)
             losses = spherical_dist_loss(emb, clip_embed[None, :b])
             return losses.mean(0).sum() * args.clip_guidance_scale
@@ -475,6 +481,10 @@ def _cmd_modify_image(args):
     model, meta, side_x, side_y = _get_model(args)
     if not meta.clip_dim:
         raise SystemExit("modify-image needs cc12m_1_cfg")
+    if args.method == "ddpm":  # fail before the 0.6B-param load
+        raise SystemExit("modify-image cannot use --method ddpm (stochastic "
+                         "ancestral sampling has no inverse); pick "
+                         "ddim/prk/plms/pie/plms2/iplms")
     _checkpoint_exists(args)
     encoder = resolve_clip_encoder(args.clip_encoder, meta.clip_model)
     target_embeds, weights = gather_target_embeds(

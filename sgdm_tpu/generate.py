@@ -106,21 +106,26 @@ def _build_layouts(trainer, method: str, n: int, image_size: int,
                          or mcfg.get("stego_k") or cond_dim or 0)
         if layout_dim <= 0:
             raise SystemExit(f"{method}: layout_dim unset in the run config")
-        layouts, attrs = [], []
-        for i in range(n):
-            img = Image.open(paths[i % len(paths)])
+        # decode each unique mask once; samples then index the cache
+        uniq_layouts, uniq_attrs = [], []
+        for p in paths[:min(n, len(paths))]:
+            img = Image.open(p)
             if img.size != (image_size, image_size):
                 img = img.resize((image_size, image_size), Image.NEAREST)
             m = np.asarray(img)
             if m.ndim == 3:
                 m = m[..., 0]
-            if int(m.max()) >= layout_dim and int(m.max()) != 255:
+            ids = m[m != 255]  # 255 = ignore label (remapped to 0 below)
+            if ids.size and int(ids.max()) >= layout_dim:
                 raise SystemExit(
-                    f"{paths[i % len(paths)].name}: mask id {int(m.max())} "
+                    f"{p.name}: mask id {int(ids.max())} "
                     f">= layout_dim {layout_dim}")
-            layouts.append(segmask_to_onehot(m, layout_dim))
+            uniq_layouts.append(segmask_to_onehot(m, layout_dim))
             if method == "stegoclusterlayout":
-                attrs.append(mask_to_attr_nhot(m, cond_dim or layout_dim))
+                uniq_attrs.append(mask_to_attr_nhot(m, cond_dim or layout_dim))
+        k = len(uniq_layouts)
+        layouts = [uniq_layouts[i % k] for i in range(n)]
+        attrs = [uniq_attrs[i % k] for i in range(n)] if uniq_attrs else []
         return (np.stack(layouts),
                 np.stack(attrs) if attrs else None)
 

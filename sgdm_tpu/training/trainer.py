@@ -206,7 +206,7 @@ class SelfGuidedDiffusionTrainer:
             out = shard_batch(out, self.mesh)
         return out
 
-    def _emit_pending_train_log(self, epoch: int) -> None:
+    def _emit_pending_train_log(self) -> None:
         """Emit the deferred train-log record from the previous log point
         (its async device→host copies have completed by now, so the
         float() calls below do not block the dispatch pipeline)."""
@@ -391,7 +391,7 @@ class SelfGuidedDiffusionTrainer:
                     # device→host copy now and EMIT it at the next log
                     # point, when the copy has long completed — values lag
                     # one window but carry their true step label.
-                    self._emit_pending_train_log(epoch)
+                    self._emit_pending_train_log()
                     for a in (metrics["loss"], metrics["ddpm_loss"],
                               metrics["grad_norm"]):
                         try:
@@ -411,7 +411,7 @@ class SelfGuidedDiffusionTrainer:
 
             # epoch boundary: flush the deferred train-log record (the
             # np.concatenate below syncs the device anyway)
-            self._emit_pending_train_log(epoch)
+            self._emit_pending_train_log()
             # Finalize the previous epoch's async 'last' save NOW (it had
             # the whole epoch to commit, so this is ~free) instead of at
             # the next save_last: validation/FID below can take minutes,

@@ -112,7 +112,10 @@ def main() -> None:
     from sgdm_tpu.eval.metrics import FeatureStats
 
     feats_global = np.random.default_rng(0).standard_normal((32, 6))
-    bounds = [0, 5, 32][: nproc + 1]
+    if nproc == 1:
+        bounds = [0, 32]
+    else:  # first shard stays the deliberately tiny one (5 samples)
+        bounds = [0] + np.linspace(5, 32, nproc).astype(int).tolist()
     mine = FeatureStats()
     mine.append(feats_global[bounds[pid]:bounds[pid + 1]])
     mine.reduce_across_processes()
