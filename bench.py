@@ -554,6 +554,25 @@ def main() -> None:
         "isolated": feat_isolated,
     }))
 
+    # loader-fed end-to-end rate (round-4 headline honesty metric): the
+    # REAL pipeline — threaded DataLoader + h5 reads + h5cond lookups +
+    # native batchgather + trainer logging cadence — vs the bare step
+    # above.  Guarded: an e2e failure must not void the three records.
+    if on_tpu_target() and not args.quick:
+        try:
+            sps_e2e, _ = bench_e2e(batch_size=args.batch_size or 192)
+            print(json.dumps({
+                "metric": "train_samples_per_sec_e2e_in64",
+                "value": round(sps_e2e, 2),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(sps_e2e / BASELINE_SAMPLES_PER_SEC, 3),
+            }))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({
+                "metric": "train_samples_per_sec_e2e_in64",
+                "error": f"{type(e).__name__}: {e}"[:300],
+            }))
+
 
 if __name__ == "__main__":
     main()
