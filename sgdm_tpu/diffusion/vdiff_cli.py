@@ -235,12 +235,23 @@ class ClipEncoderProtocol:
 
 
 def resolve_clip_encoder(spec, model_name):
-    """spec 'module:factory' (or $SGDM_CLIP_ENCODER) → encoder or None."""
+    """spec 'module:factory' (or $SGDM_CLIP_ENCODER) → encoder.
+
+    Default (no spec): the NATIVE Flax CLIP port (`models/clip.py` —
+    image + text towers + BPE tokenizer; weights from SGDM_CLIP_WEIGHTS /
+    merges from SGDM_CLIP_BPE, deterministic-random fallback otherwise),
+    replacing the external `clip` pip package the reference loads
+    (clip_sample.py:14,138).  ``spec='none'`` disables the encoder
+    entirely (text/image prompts then require --embed .npy files)."""
     import importlib
     import os
     spec = spec or os.environ.get("SGDM_CLIP_ENCODER")
-    if not spec:
+    if spec == "none":
         return None
+    if not spec:
+        from ..models.clip import build
+
+        return build(model_name)
     mod, _, factory = spec.partition(":")
     return getattr(importlib.import_module(mod), factory or "build")(model_name)
 

@@ -243,11 +243,15 @@ def test_cli_cfg_sample_with_embed_and_encoder(tiny_zoo, encoder_plugin,
 
 def test_cli_cfg_sample_requires_encoder_for_text(tiny_zoo, tmp_path,
                                                   monkeypatch):
+    """`--clip-encoder none` disables the (now-default-native) encoder;
+    text prompts must then fail loudly.  Without a spec the native port
+    (models/clip.py) is built instead — covered by
+    tests/test_clip.py::test_vdiff_cli_default_encoder_resolution."""
     monkeypatch.chdir(tmp_path)
     monkeypatch.delenv("SGDM_CLIP_ENCODER", raising=False)
     with pytest.raises(SystemExit, match="CLIP encoder"):
-        vc.main(["cfg-sample", "a prompt", "--checkpoint", "random:0",
-                 "--steps", "3"])
+        vc.main(["cfg-sample", "a prompt", "--clip-encoder", "none",
+                 "--checkpoint", "random:0", "--steps", "3"])
 
 
 def test_cli_clip_sample_guided(tiny_zoo, encoder_plugin, tmp_path,
