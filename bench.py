@@ -300,7 +300,7 @@ def bench_e2e(batch_size=192, image_size=64, channels=128, iters=120,
 
 def bench_e2e_seg(batch_size=128, image_size=64, channels=128, iters=60,
                   log_every=50, num_workers=8, prefetch_batches=4,
-                  layout_dim=21):
+                  layout_dim=21, onehot_on_device=True):
     """Loader-fed END-TO-END training rate for the LAYOUT pipeline —
     the VOC64-equivalent unetca_fast + stegoclusterlayout config (ref:
     README.md:29-81).  The complex datasets build up to three per-sample
@@ -317,9 +317,14 @@ def bench_e2e_seg(batch_size=128, image_size=64, channels=128, iters=60,
     from sgdm_tpu.data.synthetic import SyntheticSegImages
     from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
 
+    # onehot_on_device=True is the TPU-native wire format: uint8 id masks
+    # (4 KB/sample) expanded to one-hot in one fused device op, vs the
+    # reference-parity host one-hot build (344 KB/sample at K=21/64px →
+    # 102 MB per bs128 batch, measured 139 samples/s = 26 % of bare-step)
     ds = SyntheticSegImages(size=image_size, num_classes=10,
                             length=batch_size * iters, seed=0,
-                            stego_k=layout_dim)
+                            stego_k=layout_dim,
+                            onehot_on_device=onehot_on_device)
     dl = DataLoader(ds, batch_size, shuffle=True, num_workers=num_workers,
                     prefetch_batches=prefetch_batches)
     trainer = SelfGuidedDiffusionTrainer(
@@ -463,6 +468,12 @@ def main() -> None:
                         "DDIM metrics only, at the VOC64-equivalent config")
     p.add_argument("--e2e-workers", type=int, default=8)
     p.add_argument("--e2e-prefetch", type=int, default=4)
+    p.add_argument("--seg-host-onehot", action="store_true",
+                   help="e2e-seg leg: build f32 one-hot masks on the host "
+                        "(reference batch contract) instead of shipping "
+                        "uint8 id masks + device one-hot (the TPU-native "
+                        "default; measured 139 vs bare-step 539 samples/s "
+                        "host-side)")
     p.add_argument("--all", action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--pallas", action="store_true",
@@ -566,6 +577,7 @@ def main() -> None:
                        channels=32, iters=8, log_every=2, layout_dim=11)
         elif args.batch_size:
             ekw["batch_size"] = args.batch_size
+        ekw["onehot_on_device"] = not args.seg_host_onehot
         sps_seg, it_logs = bench_e2e_seg(**ekw)
         print(json.dumps({
             "metric": "train_samples_per_sec_e2e_seg_voc64",
@@ -573,6 +585,7 @@ def main() -> None:
             "unit": "samples/sec/chip",
             "vs_baseline": None,
             "isolated": True,
+            "onehot_on_device": not args.seg_host_onehot,
             "iters_per_sec_windows": [round(v, 3) for v in it_logs],
         }))
         return

@@ -28,6 +28,7 @@ from PIL import Image
 from ..utils.logging import logger
 from .h5cond import ConditionLookup, LostLookup
 from .transforms import (
+    segmask_to_ids,
     RandomScaleCrop,
     bbox_to_mask,
     mask_to_attr_nhot,
@@ -61,6 +62,7 @@ class ComplexSegDataset:
         condition: Mapping[str, Any] | None = None,
         debug: bool = False,
         seed: int = 23,
+        onehot_on_device: bool = False,
         **_unused: Any,
     ):
         self.image_size = image_size
@@ -68,6 +70,14 @@ class ComplexSegDataset:
         self.condition_method = condition_method
         self.condition = condition or {}
         self.debug = debug
+        # ship uint8 ID masks (segmask/stegomask [H,W], lostbboxmask
+        # [H,W,1]) instead of f32 one-hots; the trainer expands to
+        # [B,H,W,K] in one fused device op (`trainer._device_batch`).
+        # Cuts the per-sample host build + tunnel transfer ~13× at
+        # 64px/K=21 (BASELINE.md round 5).  Default off: the reference
+        # batch contract ships one-hots (complex_ds_common_util.py:103-133)
+        # and the papervis consumers accept both.
+        self.onehot_on_device = onehot_on_device
         self.transform = RandomScaleCrop(
             base_size=base_size, resize_size=image_size,
             rng=random.Random(seed),
@@ -144,19 +154,25 @@ class ComplexSegDataset:
         )
 
         if lostmask_t is not None:
-            result["lostbboxmask"] = lostmask_t[..., None].astype(np.float32)
+            result["lostbboxmask"] = lostmask_t[..., None].astype(
+                np.uint8 if self.onehot_on_device else np.float32)
         if stegomask_t is not None:
             result["stego_attr"] = mask_to_attr_nhot(
                 stegomask_t, self.stego_cluster_num
             )
-            result["stegomask"] = segmask_to_onehot(
-                stegomask_t, self.stego_cluster_num
+            result["stegomask"] = (
+                segmask_to_ids(stegomask_t, self.stego_cluster_num)
+                if self.onehot_on_device
+                else segmask_to_onehot(stegomask_t, self.stego_cluster_num)
             )
 
         result["image"] = (img.astype(np.float32) / 255.0) * 2.0 - 1.0
         if segmask_t is not None:
-            result["segmask"] = segmask_to_onehot(
-                segmask_t, self.label_num, self.fine_to_coarse
+            result["segmask"] = (
+                segmask_to_ids(segmask_t, self.label_num, self.fine_to_coarse)
+                if self.onehot_on_device
+                else segmask_to_onehot(
+                    segmask_t, self.label_num, self.fine_to_coarse)
             )
             result["attr"] = mask_to_attr_nhot(
                 segmask_t, self.label_num, self.fine_to_coarse

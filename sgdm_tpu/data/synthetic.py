@@ -81,10 +81,15 @@ class SyntheticSegImages(SyntheticImages):
     """
 
     def __init__(self, *, stego_k: int | None = None,
-                 cluster_k: int | None = None, **kw):
+                 cluster_k: int | None = None,
+                 onehot_on_device: bool = False, **kw):
         super().__init__(**kw)
         self.stego_k = stego_k or self.num_classes + 1
         self.cluster_k = cluster_k or self.num_classes
+        # ship uint8 ID masks instead of f32 one-hots (the trainer expands
+        # on device): 780→60 KB per 64px sample — the host/transfer fix
+        # for the layout pipeline (BASELINE.md round 5)
+        self.onehot_on_device = onehot_on_device
 
     def __getitem__(self, i: int) -> dict:
         out = super().__getitem__(i)
@@ -102,16 +107,23 @@ class SyntheticSegImages(SyntheticImages):
             bbox = np.asarray([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1])
         else:  # degenerate sample: full-image box
             bbox = np.asarray([0, 0, s, s])
-        eye = np.eye(self.stego_k, dtype=np.float32)
-        onehot = eye[mask]
         nhot = np.zeros((self.stego_k,), np.float32)
         nhot[np.unique(mask)] = 1.0
         cl = np.zeros((self.cluster_k,), np.float32)
         cl[label % self.cluster_k] = 1.0
-        lost = np.zeros((s, s, 1), np.float32)
-        lost[bbox[1]:bbox[3], bbox[0]:bbox[2], 0] = 1.0
+        if self.onehot_on_device:
+            ids = mask.astype(np.uint8)
+            lost = np.zeros((s, s, 1), np.uint8)
+            lost[bbox[1]:bbox[3], bbox[0]:bbox[2], 0] = 1
+            out.update(segmask=ids, stegomask=ids)
+        else:
+            eye = np.eye(self.stego_k, dtype=np.float32)
+            onehot = eye[mask]
+            lost = np.zeros((s, s, 1), np.float32)
+            lost[bbox[1]:bbox[3], bbox[0]:bbox[2], 0] = 1.0
+            out.update(segmask=onehot, stegomask=onehot)
         out.update(
-            raw_mask=mask, segmask=onehot, stegomask=onehot,
-            attr=nhot, stego_attr=nhot, cluster=cl, lostbboxmask=lost,
+            raw_mask=mask, attr=nhot, stego_attr=nhot, cluster=cl,
+            lostbboxmask=lost,
         )
         return out

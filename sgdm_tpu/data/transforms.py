@@ -25,6 +25,7 @@ from PIL import Image
 __all__ = [
     "RandomScaleCrop",
     "segmask_to_onehot",
+    "segmask_to_ids",
     "mask_to_attr_nhot",
     "bbox_to_mask",
 ]
@@ -92,10 +93,22 @@ def segmask_to_onehot(
     fine_to_coarse: Mapping[int, int] | None = None,
 ) -> np.ndarray:
     """[H,W] ids → [H,W,C] float32 one-hot; 255 treated as background 0."""
-    segmask = segmask.astype(np.int64).copy()
-    segmask[segmask == 255] = 0
-    segmask = _relabel(segmask, fine_to_coarse)
-    return np.eye(num_classes, dtype=np.float32)[segmask]
+    return np.eye(num_classes, dtype=np.float32)[
+        segmask_to_ids(segmask, num_classes, fine_to_coarse)]
+
+
+def segmask_to_ids(
+    segmask: np.ndarray, num_classes: int,
+    fine_to_coarse: Mapping[int, int] | None = None,
+) -> np.ndarray:
+    """[H,W] ids → normalized uint8 ID mask (255→bg 0, fine→coarse) — the
+    `onehot_on_device` wire format; `jax.nn.one_hot(ids, K)` on device is
+    bit-identical to `segmask_to_onehot` (same normalization path)."""
+    ids = segmask.astype(np.int64).copy()
+    ids[ids == 255] = 0
+    ids = _relabel(ids, fine_to_coarse)
+    assert num_classes <= 256, num_classes
+    return ids.astype(np.uint8)
 
 
 def mask_to_attr_nhot(

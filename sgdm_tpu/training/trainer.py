@@ -193,13 +193,35 @@ class SelfGuidedDiffusionTrainer:
         )
         return kw
 
+    def _layout_dim(self) -> int:
+        cfg = self.condition_cfg.get(self.condition_method) or {}
+        return int(cfg.get("layout_dim") or 0)
+
     def _device_batch(self, batch: Mapping[str, np.ndarray], training: bool = True) -> dict:
         kw = self._cond_kwargs(batch, training)
         out = {"image": jnp.asarray(batch["image"], dtype=jnp.float32)}
         if kw.get("cond") is not None:
             out["cond"] = jnp.asarray(kw["cond"], dtype=jnp.float32)
         if kw.get("layout") is not None:
-            out["layout"] = jnp.asarray(kw["layout"], dtype=jnp.float32)
+            lay = kw["layout"]
+            if isinstance(lay, np.ndarray) and lay.ndim == 3 \
+                    and np.issubdtype(lay.dtype, np.integer):
+                # datasets with `onehot_on_device=True` ship uint8 ID masks
+                # [B,H,W] (4 KB/sample) instead of f32 one-hots [B,H,W,K]
+                # (344 KB/sample at K=21/64px — measured 102 MB per bs128
+                # batch, starving the chip at 26 % of bare-step); the
+                # expansion is one fused device op here
+                k = self._layout_dim()
+                assert k > 0, (
+                    "id-mask layout needs condition."
+                    f"{self.condition_method}.layout_dim")
+                if not hasattr(self, "_onehot_fn") or self._onehot_k != k:
+                    self._onehot_k = k
+                    self._onehot_fn = jax.jit(
+                        lambda ids: jax.nn.one_hot(ids, k, dtype=jnp.float32))
+                out["layout"] = self._onehot_fn(jnp.asarray(lay, jnp.int32))
+            else:
+                out["layout"] = jnp.asarray(lay, dtype=jnp.float32)
         if kw.get("image_batch_ids") is not None:
             out["image_batch_ids"] = jnp.asarray(kw["image_batch_ids"], dtype=jnp.int32)
         if self.mesh is not None:
