@@ -46,6 +46,7 @@ def test_ds_vis_params_by_dataset_name():
     assert _ds_vis_params(128, "") == (11, 5)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_feat_compute_dtype_knob():
     """compute_dtype override wins over the f32 default, and bf16 features
     stay cosine-close to f32 (softmax/LN are f32)."""

@@ -3,6 +3,9 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 
 
 def test_compute_top_k():

@@ -285,6 +285,7 @@ def test_encode_image_fn_differentiable(tiny_encoder):
     assert bool(jnp.any(g != 0))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_encoder_random_fallback_deterministic(monkeypatch):
     monkeypatch.delenv("SGDM_CLIP_WEIGHTS", raising=False)
     monkeypatch.delenv("SGDM_CLIP_BPE", raising=False)
@@ -296,6 +297,7 @@ def test_encoder_random_fallback_deterministic(monkeypatch):
     assert a.embed_dim == 512 and a.input_resolution == 224
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_vdiff_cli_default_encoder_resolution(monkeypatch):
     """resolve_clip_encoder with no spec returns the native port;
     spec='none' disables it."""

@@ -25,6 +25,7 @@ def blobs(n_per=100, k=4, d=8, scale=10.0, noise=0.05, seed=0):
 
 
 class TestAssign:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_exact_argmin(self):
         rng = np.random.RandomState(0)
         X = rng.randn(50, 4).astype(np.float32)

@@ -33,6 +33,7 @@ def _x(*shape):
     return jnp.asarray(RNG.standard_normal(shape), jnp.float32)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_ldm_model_forward():
     """Model: timestep UNet with mid + per-resolution attention and
     channel-concat context (model.py:317-363)."""
@@ -49,6 +50,7 @@ def test_ldm_model_forward():
     assert "mid_attn_1" in names and "down_1_attn_0" in names
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_ldm_model_no_timestep_linear_attn():
     m = LDMModel(ch=16, ch_mult=(1, 2), num_res_blocks=1,
                  attn_resolutions=(8,), resolution=16,
@@ -58,6 +60,7 @@ def test_ldm_model_no_timestep_linear_attn():
     assert m.apply(v, x).shape == (1, 16, 16, 3)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_encoder_decoder_roundtrip_shapes():
     """Encoder 2·z head (double_z) down 2**(n-1); Decoder back up
     (model.py:427-433, :479-483)."""
@@ -79,6 +82,7 @@ def test_encoder_decoder_roundtrip_shapes():
     assert pre.apply(pv, z[..., :4]).shape == (2, 32, 32, 16)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_encoder_single_z():
     enc = Encoder(ch=8, ch_mult=(1, 2), num_res_blocks=1, resolution=16,
                   z_channels=4, double_z=False)
@@ -108,6 +112,7 @@ def test_latent_rescaler(factor, expect):
     assert out.shape == (1, expect, expect, 8)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_merged_rescale_encoder_decoder():
     enc = MergedRescaleEncoder(ch=8, out_ch=4, ch_mult=(1, 2),
                                num_res_blocks=1, resolution=16,
@@ -123,6 +128,7 @@ def test_merged_rescale_encoder_decoder():
     assert dec.apply(v2, z).shape == (1, 16, 16, 3)  # ×2 rescale, 2× dec
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_upsampler():
     m = Upsampler(in_size=8, out_size=16, in_channels=4, out_channels=3)
     x = _x(1, 8, 8, 4)

@@ -168,6 +168,7 @@ class TestLostAlgorithm:
 
 
 class TestStego:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_predict_mask_shapes(self):
         from sgdm_tpu.selfsup.stego import StegoInference
 

@@ -105,6 +105,7 @@ class TestInception:
         params = model.init(jax.random.PRNGKey(0), x)["params"]
         return model, params
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_output_shapes(self, net):
         import jax.numpy as jnp
 
@@ -114,6 +115,7 @@ class TestInception:
         assert out["logits"].shape == (2, 1008)
         assert out["spatial"].shape == (2, 7 * 17 * 17)
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_param_structure_matches_torch_names(self, net):
         _, params = net
         # spot-check the torch-mechanical naming needed by load_torch_weights
@@ -124,6 +126,7 @@ class TestInception:
 
 
 class TestFIDEngine:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_identical_folders_near_zero_fid(self, tmp_path):
         from PIL import Image
 

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgdm_tpu.utils.fast_rng import fast_rng_key
+import pytest
 
 
 def test_typed_and_raw_keys_accepted():
@@ -46,6 +47,7 @@ def test_split_and_fold_work_without_threefry_loops():
             assert not np.allclose(outs[i], outs[j])
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_train_step_lowering_has_no_while_loops():
     """The fused train step must contain zero rolled-threefry while loops
     (they cost ~28 ms/step on the TPU scalar unit, BASELINE.md round 2)."""

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
+
 
 @pytest.fixture(scope="module")
 def tiny_backbone_ckpt(tmp_path_factory):

@@ -24,6 +24,7 @@ from sgdm_tpu.parallel.fsdp import (
 from sgdm_tpu.parallel.mesh import create_mesh, shard_batch
 from sgdm_tpu.training.optim import create_optimizer
 from sgdm_tpu.training.state import create_train_state, make_train_step
+import pytest
 
 
 def cpu_devices():
@@ -58,6 +59,7 @@ def _flat_specs(specs):
 
 
 class TestPspecRules:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_large_leaves_shard_largest_free_dim(self):
         _, _, _, state, _ = _setup()
         flat = _flat_specs(
@@ -70,6 +72,7 @@ class TestPspecRules:
         # time embed dense [32,128] → shard dim 1 (largest divisible)
         assert flat["time_embed_1/kernel"] == P(None, "data")
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_small_leaves_replicate(self):
         _, _, _, state, _ = _setup()
         flat = _flat_specs(
@@ -77,6 +80,7 @@ class TestPspecRules:
         assert flat["backbone/down_0_0/out_norm/scale"] == P()
         assert flat["backbone/down_0_0/in_conv/bias"] == P()
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_composes_with_tp_base(self):
         from sgdm_tpu.parallel.tp import unet_param_pspecs
 
@@ -91,6 +95,7 @@ class TestPspecRules:
         k = "backbone/mid_res1/out_conv/kernel"
         assert flat[k] == P(None, None, "model", "data"), flat[k]
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_state_pspecs_cover_moments_and_scalars(self):
         _, _, _, state, _ = _setup()
         specs = train_state_pspecs(state, axis_size=8, min_size=1024)
@@ -101,6 +106,7 @@ class TestPspecRules:
         assert specs.step == P()
         assert specs.opt_state[0].count == P()
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_indivisible_or_1d_mesh_replicates(self):
         _, _, _, state, _ = _setup()
         for spec in jax.tree.leaves(
@@ -113,6 +119,7 @@ class TestPspecRules:
             assert s.spec == P()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestNumerics:
     def test_fsdp_step_matches_single_device(self):
         model, diffusion, tx, state0, batch = _setup()
@@ -255,6 +262,7 @@ class TestNumerics:
                                    rtol=1e-6)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestCrossTopologyRestore:
     """Checkpoint portability across device topologies (round-3 VERDICT #6):
     the operation actually performed when scaling a pod run up/down or
@@ -356,6 +364,7 @@ class TestCrossTopologyRestore:
                                    rtol=1e-6)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestTrainerWiring:
     def test_trainer_fsdp_flag_shards_state(self, monkeypatch):
         """pl.trainer.fsdp=true → FSDP-sharded state through the trainer's

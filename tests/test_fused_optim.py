@@ -185,6 +185,7 @@ def test_warmup_ema_decay_and_no_ema():
     _assert_trees_close(p2, e2, rtol=0, atol=0)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_train_step_flag_matches_default():
     """make_train_step(fused_optim=True) reproduces the default step."""
     import flax.linen as nn

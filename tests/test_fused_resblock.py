@@ -39,6 +39,7 @@ def test_forward_parity(cin, cout):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 @pytest.mark.parametrize("cin,cout", [(32, 32), (32, 64)])
 def test_gradient_parity_all_params(cin, cout):
     x, args, (skw, skb), cot = _mk(Cin=cin, Cout=cout)
@@ -71,6 +72,7 @@ def test_dropout_deterministic_and_rate():
     assert bool(jnp.any(o1 != o3))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_dropout_gradient_finite_difference():
     x, args, _, cot = _mk(seed=3)
     seed = jnp.array([5], jnp.int32)
@@ -89,6 +91,7 @@ def test_dropout_gradient_finite_difference():
             1.0, abs(float(fd)))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_module_fused_matches_unfused_and_shares_tree(monkeypatch):
     """ResBlock(use_pallas='fused') must produce the same parameter tree as
     the unfused module and (given identical params) the same output."""

@@ -3,10 +3,13 @@ checkpoint from its config.yaml + ckpts/meta.json and sample PNGs — the
 serving surface outside the FID harness."""
 
 import numpy as np
+import pytest
 from PIL import Image
 
 from sgdm_tpu.generate import generate
 from tests.test_trainer_resume import make_dm, make_trainer
+
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 
 
 def test_generate_from_run_dir(tmp_path, monkeypatch):

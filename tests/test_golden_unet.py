@@ -274,6 +274,7 @@ def _build_pair(ref_unet_mod, seed=0):
     return tm, fm, params
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_unet_forward_matches_torch(ref_unet_mod):
     import jax.numpy as jnp
 
@@ -301,6 +302,7 @@ def test_unet_forward_matches_torch(ref_unet_mod):
     )
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_unet_uncond_drop_matches_torch(ref_unet_mod):
     """cond_drop_prob=1 → null (zero) condition on both sides."""
     import jax.numpy as jnp

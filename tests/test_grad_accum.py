@@ -9,6 +9,9 @@ from sgdm_tpu.diffusion import GaussianDiffusion
 from sgdm_tpu.models import UNetModel
 from sgdm_tpu.training.optim import create_optimizer
 from sgdm_tpu.training.state import create_train_state, make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 
 
 def setup(accum):

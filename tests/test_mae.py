@@ -6,6 +6,7 @@ import numpy as np
 import optax
 
 from sgdm_tpu.selfsup.mae import MAE, mae_loss, make_mae_train_step
+import pytest
 
 
 def tiny_mae():
@@ -15,6 +16,7 @@ def tiny_mae():
 
 
 class TestMAE:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_shapes_and_mask_ratio(self):
         m = tiny_mae()
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
@@ -27,6 +29,7 @@ class TestMAE:
         # 75% masked (within integer rounding)
         np.testing.assert_allclose(np.asarray(mask).mean(), 0.75, atol=0.1)
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_target_per_patch_normalized(self):
         m = tiny_mae()
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 5 + 3
@@ -36,6 +39,7 @@ class TestMAE:
         np.testing.assert_allclose(t.mean(-1), 0.0, atol=1e-4)
         np.testing.assert_allclose(t.std(-1), 1.0, atol=1e-2)
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_loss_decreases(self):
         m = tiny_mae()
         x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))

@@ -125,6 +125,7 @@ def test_drop_path_default_is_identity():
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_finetune_tx_scales_updates(tiny_model_params):
     """The post-AdamW update is scaled per layer: with equal gradients the
     head moves ~ld^-3 times further than the patch embed."""
@@ -143,6 +144,7 @@ def test_finetune_tx_scales_updates(tiny_model_params):
     del optax
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_finetune_end_to_end(tmp_path):
     """Two epochs on synthetic data with a pretrained tiny encoder: runs,
     logs finite losses, saves both full and encoder checkpoints, and the

@@ -247,6 +247,7 @@ class TestRematPolicies:
         l, g = jax.value_and_grad(loss)(params)
         return float(l), g
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_conv_policy_matches_no_remat(self):
         import jax
 

@@ -7,6 +7,7 @@ import optax
 
 from sgdm_tpu.models.vit import VisionTransformer
 from sgdm_tpu.selfsup.msn import make_msn_train_step, mask_patches, msn_loss, sharpen
+import pytest
 
 
 class TestPieces:
@@ -34,6 +35,7 @@ class TestPieces:
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_loss_decreases(self):
         enc = VisionTransformer(patch_size=8, embed_dim=32, depth=2,
                                 num_heads=2, pretrain_img_size=32)

@@ -20,6 +20,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
+
 
 def _free_port() -> int:
     s = socket.socket()

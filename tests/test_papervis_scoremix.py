@@ -120,6 +120,7 @@ def test_batch_to_samecondition_v2():
 
 # ----------------------------------------------------------------------
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_scoremix_sampler_endpoints():
     """w=0 reproduces guided(cond_a); w=1 reproduces guided(cond_b)."""
     import jax

@@ -153,6 +153,7 @@ def test_vissl_swav_roundtrip_rn101(tmp_path):
     _assert_parity(tm, resnet101(), load_vissl_torch_weights(str(pth)))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_vissl_backbone_interface():
     from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
 
@@ -164,6 +165,7 @@ def test_vissl_backbone_interface():
     assert feats.shape == (2, 2048) and np.isfinite(feats).all()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_simclr_backbone_interface():
     from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
 

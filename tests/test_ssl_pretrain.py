@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_msn_cli_trains_and_exports(tmp_path):
     from sgdm_tpu.selfsup.msn_train import build_argparser, train_msn
     from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
@@ -32,6 +33,7 @@ def test_msn_cli_trains_and_exports(tmp_path):
     assert np.isfinite(feats).all()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_mae_cli_trains_and_exports(tmp_path):
     from sgdm_tpu.selfsup.mae_train import build_argparser, train_mae
     from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import pytest
+
 from sgdm_tpu.selfsup.stego_train import (
     cluster_probe_loss,
     contrastive_correlation_loss,
@@ -20,6 +22,7 @@ class TestCorrelation:
 
 
 class TestContrastiveLoss:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_runs_and_grads(self):
         rng = jax.random.PRNGKey(0)
         feats = jax.random.normal(rng, (4, 8, 8, 16))

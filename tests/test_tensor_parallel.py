@@ -57,6 +57,7 @@ def _tp_mesh(data=2, tp=4):
 
 
 class TestPspecRules:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_unet_rules(self):
         model, _, tx, state, _ = _setup()
         specs = unet_param_pspecs(state.params, axis_size=4)
@@ -85,6 +86,7 @@ class TestPspecRules:
         assert flat["backbone/down_1_0/skip_proj/kernel"] == P()
         assert flat["backbone/down_0_0/in_norm/scale"] == P()
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_indivisible_falls_back_replicated(self):
         _, _, _, state, _ = _setup()
         specs = unet_param_pspecs(state.params, axis_size=7)
@@ -92,6 +94,7 @@ class TestPspecRules:
                 specs, is_leaf=lambda x: isinstance(x, P)):
             assert spec == P()
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_state_pspecs_cover_opt_state(self):
         _, _, _, state, _ = _setup()
         specs = train_state_pspecs(state, axis_size=4)
@@ -107,6 +110,7 @@ class TestPspecRules:
         assert specs.step == P()
         assert specs.opt_state[0].count == P()
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_data_only_mesh_is_fully_replicated(self):
         _, _, _, state, _ = _setup()
         mesh = create_mesh(cpu_devices())  # 1-D ('data',)
@@ -116,6 +120,7 @@ class TestPspecRules:
             assert s.spec == P()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestTrainerWiring:
     def test_trainer_builds_tp_mesh_and_shards_state(self, monkeypatch):
         """pl.trainer.tensor_parallel=2 → 2-D mesh + model-sharded state
@@ -155,6 +160,7 @@ class TestTrainerWiring:
         assert trainer._state_shardings is not None
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestNumerics:
     def test_tp_step_matches_single_device(self):
         model, diffusion, tx, state0, batch = _setup()

@@ -10,6 +10,9 @@ epoch numbering line up with an uninterrupted run
 import numpy as np
 
 from sgdm_tpu.training.trainer import SelfGuidedDiffusionTrainer
+import pytest
+
+pytestmark = pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 
 
 def make_trainer(tmp_path, seed=23):

@@ -52,6 +52,7 @@ class TestLRSchedule:
 
 
 class TestTrainStep:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_loss_decreases(self):
         # constant-image dataset → model must quickly beat the eps=0 baseline
         _, _, _, state, step = tiny_setup()
@@ -66,6 +67,7 @@ class TestTrainStep:
         assert last < first, (first, last)
         assert np.isfinite(last)
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_step_counter_and_ema(self):
         _, _, _, state, step = tiny_setup()
         x = jnp.full((8, 8, 8, 1), 0.5)
@@ -77,6 +79,7 @@ class TestTrainStep:
                             s1.ema_params, s1.params)
         assert max(jax.tree.leaves(diff)) < 0.2
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_conditional_training(self):
         _, _, _, state, step = tiny_setup(cond_dim=6)
         x = jnp.full((8, 8, 8, 1), 0.5)
@@ -85,6 +88,7 @@ class TestTrainStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 class TestDataParallel:
     def test_train_step_on_8_device_mesh(self):
         cpus = jax.devices("cpu")
@@ -116,6 +120,7 @@ class TestDataParallel:
 
 
 class TestEvalAndSample:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_eval_step(self):
         model, diffusion, _, state, _ = tiny_setup()
         ev = make_eval_step(model, diffusion)
@@ -123,6 +128,7 @@ class TestEvalAndSample:
                  jax.random.PRNGKey(0))
         assert np.isfinite(float(out["loss"]))
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_sample_fn_guided(self):
         model, diffusion, _, state, _ = tiny_setup(cond_dim=6)
         sample = make_sample_fn(
@@ -138,6 +144,7 @@ class TestEvalAndSample:
 
 
 class TestResume:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_checkpoint_roundtrip_through_manager(self, tmp_path):
         from sgdm_tpu.training.checkpoints import CheckpointManager
 
@@ -157,6 +164,7 @@ class TestResume:
 
 
 class TestMuDtype:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_bf16_first_moment_knob(self):
         """optim.params.mu_dtype=bfloat16: μ stored in bf16 (traffic/memory
         knob), ν stays f32, and a step stays close to the f32-μ step."""
@@ -248,6 +256,7 @@ class TestTrainerKnobs:
         # partitioned over sharded params — the trainer must opt out
         assert t.model.flash_attention is False
 
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_check_val_cadence(self, tmp_path, monkeypatch):
         """check_val_every_n_epoch=2 runs validation on epochs 1 and 3
         only (Lightning cadence)."""

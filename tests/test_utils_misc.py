@@ -179,6 +179,7 @@ class TestClusterVis:
 
 
 class TestCondscaleSweep:
+    @pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
     def test_per_sample_weights_one_call(self):
         # exercise the per-sample guidance-weight path end to end
         import jax

@@ -221,6 +221,7 @@ def tiny_zoo(monkeypatch):
     return cfg
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_cli_cfg_sample_unconditional_runs(tiny_zoo, tmp_path, monkeypatch):
     """zero prompts == the reference's zero-embed null condition — the one
     mode that runs without CLIP weights (cfg_sample.py:101-102)."""
@@ -231,6 +232,7 @@ def test_cli_cfg_sample_unconditional_runs(tiny_zoo, tmp_path, monkeypatch):
     assert (tmp_path / "out_00001.png").exists()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_cli_cfg_sample_with_embed_and_encoder(tiny_zoo, encoder_plugin,
                                                tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
@@ -265,6 +267,7 @@ def test_cli_clip_sample_guided(tiny_zoo, encoder_plugin, tmp_path,
     assert (tmp_path / "out_00000.png").exists()
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_cli_modify_image(tiny_zoo, tmp_path, monkeypatch):
     from PIL import Image
     monkeypatch.chdir(tmp_path)

@@ -70,6 +70,7 @@ def test_augment_shapes():
     assert batches[0][0].shape == (4, 8, 8, 3)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_wrn_structure():
     """Stack count follows img_size (:185-205); projection/bias layout."""
     m32 = WideResNet(nout=10, n=1, k=1, img_size=32)

@@ -272,6 +272,7 @@ def test_output_contracts():
     np.testing.assert_allclose(a.sum(-1), 1.0, atol=1e-5)  # softmax rows
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_ssl_backbone_integration():
     from sgdm_tpu.selfsup.ssl_backbone import get_ssl_backbone
 

@@ -40,6 +40,7 @@ def tiny_model_and_vars():
     return m, v, x, t, cond
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_forward_shape_and_finite(tiny_model_and_vars):
     m, v, x, t, cond = tiny_model_and_vars
     out = m.apply(v, x, t, cond)
@@ -47,6 +48,7 @@ def test_forward_shape_and_finite(tiny_model_and_vars):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_cond_drop_uses_null_tokens(tiny_model_and_vars):
     """drop=1 must ignore the text entirely (null-token swap, :1101-1123)."""
     m, v, x, t, cond = tiny_model_and_vars
@@ -71,6 +73,7 @@ def test_per_sample_cond_drop(tiny_model_and_vars):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_forward_with_cond_scale_combine(tiny_model_and_vars):
     """(1-s)·ε(z) + s·ε(z,c) from one doubled pass (:1032-1048)."""
     m, v, x, t, cond = tiny_model_and_vars
@@ -90,6 +93,7 @@ def test_forward_with_cond_scale_combine(tiny_model_and_vars):
         np.asarray(eps_z), atol=0)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_memory_efficient_and_flags():
     """memory_efficient pre-downsample + cross-embed downsample +
     init-conv final residual + linear attention + fixed pos emb

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sgdm_tpu.models.zoo import LatentFC, VDMUNet
+import pytest
 
 
 def test_latent_fc_shapes_and_skip():
@@ -31,6 +32,7 @@ def test_latent_fc_shapes_and_skip():
     assert out_t.shape == (4, 32)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_vdm_unet_forward():
     m = VDMUNet(dim=16, dim_mults=(1, 2), resnet_block_groups=4)
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 16, 3)),
@@ -46,6 +48,7 @@ def test_vdm_unet_forward():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_vdm_unet_learned_sinusoidal_and_variance():
     m = VDMUNet(dim=16, dim_mults=(1, 2), resnet_block_groups=4,
                 learned_sinusoidal_cond=True, learned_variance=True)
@@ -56,6 +59,7 @@ def test_vdm_unet_learned_sinusoidal_and_variance():
     assert out.shape == (1, 16, 16, 6)  # 2*channels with learned variance
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_vdm_unet_drives_continuous_sampler():
     from sgdm_tpu.diffusion.samplers.continuous import (
         beta_linear_log_snr,

@@ -261,10 +261,12 @@ _TINY_CC12M = _NetCfg(size=16, cs=(8, 12, 16), nb=2, divisor=4,
                       ddpm_range=False, clip_dim=6, cond_width=16)
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_forward_parity_plain_family(ref):
     _run_parity(ref, _TINY_PLAIN, "danbooru")
 
 
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
 def test_forward_parity_normed_attn_bilinear_family(ref):
     _run_parity(ref, _TINY_YFCC, "yfcc_2")
 
