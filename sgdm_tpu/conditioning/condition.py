@@ -27,6 +27,8 @@ __all__ = [
     "prepare_condition_kwargs",
     "randomsample_cond",
     "prepare_sampling_kwargs",
+    "layout_dim_of",
+    "layout_to_device",
 ]
 
 VECTOR_COND_METHODS = (
@@ -129,3 +131,59 @@ def prepare_sampling_kwargs(
     kw.pop("cond_drop_prob")
     kw["cond_scale"] = cond_scale
     return kw
+
+
+def layout_dim_of(condition_method: str | None,
+                  condition_cfg: Mapping[str, Any] | None) -> int:
+    """The configured `condition.<method>.layout_dim` (0 when unset)."""
+    cfg = (condition_cfg or {}).get(condition_method or "") or {}
+    return int(cfg.get("layout_dim") or 0)
+
+
+_onehot_fns: dict[int, Any] = {}
+
+
+def layout_to_device(layout, layout_dim: int):
+    """Layout tensor → device f32, expanding the `onehot_on_device` wire
+    format on the way.
+
+    Every sampler consumer (train step, ImageLogger, FID harness,
+    condscale sweep) routes layouts through here so both wire formats
+    work everywhere:
+
+      * f32 one-hot [..,H,W,K] / binary [..,H,W,1] (the reference batch
+        contract, complex_ds_common_util.py:103-133) — passthrough cast;
+      * integer ID masks [B,H,W] or [H,W] (`onehot_on_device=True`
+        datasets, `segmask_to_ids`) — shipped to the device AS uint8
+        (1 byte/px on the host→device tunnel; the whole point of the
+        wire format) and expanded to [..,H,W,K] one-hot in one fused
+        jitted op.  Integer [..,H,W,1] binary bbox masks pass through.
+
+    Out-of-range ids are rejected loudly (host parity: np.eye(K)[ids]
+    raises IndexError; jax.nn.one_hot would silently zero them).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if layout is None:
+        return None
+    arr = layout if isinstance(layout, np.ndarray) else (
+        np.asarray(layout) if not hasattr(layout, "devices") else layout
+    )
+    if isinstance(arr, np.ndarray) \
+            and np.issubdtype(arr.dtype, np.integer) and arr.ndim in (2, 3) \
+            and arr.shape[-1] != 1:
+        assert layout_dim > 0, (
+            "id-mask layout needs condition.<method>.layout_dim")
+        if arr.size and int(arr.max()) >= layout_dim:
+            raise ValueError(
+                f"layout id mask contains id {int(arr.max())} >= "
+                f"layout_dim {layout_dim}")
+        fn = _onehot_fns.get(layout_dim)
+        if fn is None:
+            fn = _onehot_fns[layout_dim] = jax.jit(
+                lambda ids, k=layout_dim: jax.nn.one_hot(
+                    ids, k, dtype=jnp.float32))
+        return fn(jnp.asarray(arr))  # uint8 over the wire; cast in-op
+    return jnp.asarray(arr, dtype=jnp.float32)

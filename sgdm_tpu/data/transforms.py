@@ -108,6 +108,14 @@ def segmask_to_ids(
     ids[ids == 255] = 0
     ids = _relabel(ids, fine_to_coarse)
     assert num_classes <= 256, num_classes
+    if ids.size and int(ids.max()) >= num_classes:
+        # keep the host one-hot path's loud failure on corrupt masks
+        # (np.eye(K)[ids] raises IndexError); the uint8 cast below would
+        # silently wrap >255 and jax.nn.one_hot would silently zero
+        # out-of-range rows
+        raise IndexError(
+            f"segmask id {int(ids.max())} >= num_classes {num_classes}"
+        )
     return ids.astype(np.uint8)
 
 

@@ -284,8 +284,12 @@ def train_wrn(data_folder: str, img_size: int = 32, n: int = 4, k: float = 1.0,
         t_ep = time.time()
         tr_err, tr_batches = 0.0, 0
         for ib in range(1, num_train_batches + 1):
-            data = first if (ib == 1 and epoch == start_epoch) else \
-                load_databatch(data_folder, ib, img_size)
+            if ib == 1 and epoch == start_epoch and first is not None:
+                data, first = first, None  # release the flip-doubled copy
+                # (~3 GB at real IN32 scale) once consumed; later epochs
+                # reload from disk like every other (ib, epoch)
+            else:
+                data = load_databatch(data_folder, ib, img_size)
             for xb, yb in iterate_minibatches(
                     data["X"], data["Y"], batch_size, rng, augment=True,
                     img_size=img_size):

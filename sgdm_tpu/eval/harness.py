@@ -23,7 +23,11 @@ from typing import Any, Mapping
 
 import numpy as np
 
-from ..conditioning.condition import prepare_sampling_kwargs
+from ..conditioning.condition import (
+    layout_dim_of,
+    layout_to_device,
+    prepare_sampling_kwargs,
+)
 from ..utils.logging import logger
 from .fid_engine import InceptionExtractor, get_fid_dict, sample_to_dir
 
@@ -91,7 +95,10 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
             b, h, c,
             jax.random.PRNGKey(seed),
             cond=None if cond is None else jnp.asarray(cond, dtype=jnp.float32),
-            layout=None if layout is None else jnp.asarray(layout, dtype=jnp.float32),
+            layout=layout_to_device(
+                layout,
+                layout_dim_of(trainer.condition_method, trainer.condition_cfg),
+            ),
             cond_scale=cond_scale,
             sampling_method=sampling_method,
             num_steps=num_steps,
@@ -548,7 +555,11 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
                 trainer, np.asarray(kw["cond"][0]),
                 scales=[0.0, 1.0, 2.0, 4.0, 6.0], image_size=h, channels=c,
                 layout=None if kw.get("layout") is None
-                else np.asarray(kw["layout"][0]),
+                else layout_to_device(
+                    np.asarray(kw["layout"][0]),
+                    layout_dim_of(trainer.condition_method,
+                                  trainer.condition_cfg),
+                ),
                 sampling_method=sampling_method, num_steps=num_steps,
             )
             draw_grid(imgs, papervis_dir / "condscale_sweep.png", ncol=5)

@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..conditioning.condition import prepare_condition_kwargs
+from ..conditioning.condition import (
+    layout_dim_of,
+    layout_to_device,
+    prepare_condition_kwargs,
+)
 from ..config.engine import instantiate_from_config, to_container
 from ..diffusion import GaussianDiffusion
 from ..parallel.mesh import create_mesh, shard_batch
@@ -194,8 +198,7 @@ class SelfGuidedDiffusionTrainer:
         return kw
 
     def _layout_dim(self) -> int:
-        cfg = self.condition_cfg.get(self.condition_method) or {}
-        return int(cfg.get("layout_dim") or 0)
+        return layout_dim_of(self.condition_method, self.condition_cfg)
 
     def _device_batch(self, batch: Mapping[str, np.ndarray], training: bool = True) -> dict:
         kw = self._cond_kwargs(batch, training)
@@ -203,25 +206,12 @@ class SelfGuidedDiffusionTrainer:
         if kw.get("cond") is not None:
             out["cond"] = jnp.asarray(kw["cond"], dtype=jnp.float32)
         if kw.get("layout") is not None:
-            lay = kw["layout"]
-            if isinstance(lay, np.ndarray) and lay.ndim == 3 \
-                    and np.issubdtype(lay.dtype, np.integer):
-                # datasets with `onehot_on_device=True` ship uint8 ID masks
-                # [B,H,W] (4 KB/sample) instead of f32 one-hots [B,H,W,K]
-                # (344 KB/sample at K=21/64px — measured 102 MB per bs128
-                # batch, starving the chip at 26 % of bare-step); the
-                # expansion is one fused device op here
-                k = self._layout_dim()
-                assert k > 0, (
-                    "id-mask layout needs condition."
-                    f"{self.condition_method}.layout_dim")
-                if not hasattr(self, "_onehot_fn") or self._onehot_k != k:
-                    self._onehot_k = k
-                    self._onehot_fn = jax.jit(
-                        lambda ids: jax.nn.one_hot(ids, k, dtype=jnp.float32))
-                out["layout"] = self._onehot_fn(jnp.asarray(lay, jnp.int32))
-            else:
-                out["layout"] = jnp.asarray(lay, dtype=jnp.float32)
+            # `onehot_on_device=True` datasets ship uint8 ID masks [B,H,W]
+            # (4 KB/sample) instead of f32 one-hots [B,H,W,K] (344 KB/sample
+            # at K=21/64px — measured 102 MB per bs128 batch, starving the
+            # chip at 26 % of bare-step); layout_to_device transfers the
+            # uint8 wire bytes and expands in one fused device op
+            out["layout"] = layout_to_device(kw["layout"], self._layout_dim())
         if kw.get("image_batch_ids") is not None:
             out["image_batch_ids"] = jnp.asarray(kw["image_batch_ids"], dtype=jnp.int32)
         if self.mesh is not None:
@@ -556,7 +546,7 @@ class SelfGuidedDiffusionTrainer:
                 len(cond_arr) if cond_arr is not None else n,
                 img_size, channels,
                 cond=None if cond_arr is None else jnp.asarray(cond_arr, jnp.float32),
-                layout=None if layout_arr is None else jnp.asarray(layout_arr, jnp.float32),
+                layout=layout_to_device(layout_arr, self._layout_dim()),
             )
             log = {f"images/{tag}": make_grid(np.asarray(imgs))}
             if log_chain:

@@ -253,7 +253,15 @@ STAGES = {"weights": stage_weights, "feat": stage_feat,
 
 
 def run_stage(name: str, args) -> list[dict]:
-    return STAGES[name](args)
+    try:
+        return STAGES[name](args)
+    except (RuntimeError, AssertionError, ValueError) as e:
+        # a golden-check mismatch raises (weight_verify._check RuntimeError,
+        # first-use asserts) — that is exactly the parity failure this
+        # runbook reports: record it as a FAIL line so the remaining stages
+        # still run and the documented contract (one line per stage + final
+        # JSON summary, exit 1 on any FAIL) holds
+        return [_result(name, "FAIL", f"{type(e).__name__}: {e}")]
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -40,7 +40,10 @@ import jax  # noqa: E402
 
 if _compile_cache_dir is not None:
     jax.config.update("jax_compilation_cache_dir", _compile_cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update(
+        "jax_persistent_cache_min_compile_time_secs",
+        float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+    )
 
 jax.config.update("jax_threefry_partitionable", True)
 try:

@@ -83,3 +83,83 @@ def test_trainer_device_batch_expands_ids():
                                   np.asarray(got_host["layout"]))
     np.testing.assert_array_equal(np.asarray(got_dev["cond"]),
                                   np.asarray(got_host["cond"]))
+
+
+def test_layout_to_device_wire_formats():
+    import jax.numpy as jnp
+
+    from sgdm_tpu.conditioning.condition import layout_to_device
+
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, 6, (4, 16, 16)).astype(np.uint8)
+    # batched id masks expand to one-hot, bit-equal to the host contract
+    out = layout_to_device(ids, 6)
+    assert out.shape == (4, 16, 16, 6) and out.dtype == jnp.float32
+    np.testing.assert_array_equal(
+        np.asarray(out), np.eye(6, dtype=np.float32)[ids])
+    # single-sample [H,W] id masks (condscale sweep path)
+    one = layout_to_device(ids[0], 6)
+    assert one.shape == (16, 16, 6)
+    # f32 one-hots and binary [B,H,W,1] bbox masks pass through unchanged
+    hot = np.eye(6, dtype=np.float32)[ids]
+    np.testing.assert_array_equal(np.asarray(layout_to_device(hot, 6)), hot)
+    bbox = (ids[..., None] > 2).astype(np.uint8)
+    np.testing.assert_array_equal(
+        np.asarray(layout_to_device(bbox, 6)), bbox.astype(np.float32))
+    assert layout_to_device(None, 6) is None
+    # out-of-range ids fail loudly (host parity: np.eye(K)[ids] raises)
+    bad = ids.copy()
+    bad[0, 0, 0] = 6
+    try:
+        layout_to_device(bad, 6)
+        raise AssertionError("expected ValueError on out-of-range id")
+    except ValueError:
+        pass
+
+
+def test_segmask_to_ids_rejects_out_of_range():
+    mask = np.full((4, 4), 3, dtype=np.int64)
+    try:
+        segmask_to_ids(mask, 3)
+        raise AssertionError("expected IndexError on id >= num_classes")
+    except IndexError:
+        pass
+
+
+def test_imagelogger_and_harness_accept_id_masks():
+    """The vis/FID sampler paths must expand id-mask layouts too — they
+    receive the RAW batch (not trainer._device_batch output)."""
+    import jax
+
+    from sgdm_tpu.conditioning.condition import layout_dim_of
+    from sgdm_tpu.eval.harness import _make_batch_sample_fn
+
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    class StubTrainer:
+        condition_method = "stegoclusterlayout"
+        condition_cfg = {"stegoclusterlayout": {"layout_dim": 6}}
+        cond_drop_prob = 0.1
+
+        def sampling_progressive(self, b, h, c, key, cond=None, layout=None,
+                                 **kw):
+            # the denoiser contract: layout arrives [B,H,W,K] f32
+            assert layout is not None and layout.ndim == 4, layout.shape
+            assert layout.shape[-1] == 6, layout.shape
+            import jax.numpy as jnp
+            assert layout.dtype == jnp.float32
+            img = np.zeros((b, h, h, c), dtype=np.uint8)
+            return img, {}
+
+    rng = np.random.RandomState(2)
+    batch = {
+        "image": rng.uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32),
+        "stego_attr": np.ones((4, 6), dtype=np.float32),
+        "stegomask": rng.randint(0, 6, (4, 16, 16)).astype(np.uint8),
+    }
+    fn = _make_batch_sample_fn(StubTrainer(), cond_scale=2.0,
+                               sampling_method="ddim", num_steps=2)
+    out = fn(batch, seed=0)
+    assert out.shape == (4, 16, 16, 3)
+    assert layout_dim_of("stegoclusterlayout",
+                         StubTrainer.condition_cfg) == 6

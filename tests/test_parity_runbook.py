@@ -109,3 +109,18 @@ def test_main_exit_code_on_fail(tmp_path):
         rb.main(["--stage", "cluster", "--feat-h5", str(feat), "--k", "3",
                  "--nmi-floor", "1.01", "--out-root", str(tmp_path)])
     assert ei.value.code == 1
+
+
+def test_stage_exception_becomes_fail_line(monkeypatch):
+    """A golden-check mismatch raises (weight_verify RuntimeError); the
+    runbook must record it as a FAIL line — not crash — so later stages
+    still run and the JSON summary/exit-code contract holds."""
+    monkeypatch.setitem(rb.STAGES, "inception",
+                        lambda a: (_ for _ in ()).throw(
+                            RuntimeError("golden mismatch 0.5 > 1e-3")))
+    (res,) = rb.run_stage("inception", _args())
+    assert res["status"] == "FAIL"
+    assert "golden mismatch" in res["detail"]
+    with pytest.raises(SystemExit) as ei:
+        rb.main(["--stage", "inception"])
+    assert ei.value.code == 1
