@@ -67,6 +67,7 @@ class InceptionExtractor:
         import jax
 
         self.batch_size = batch_size
+        self._dir_cache: dict = {}
         self.model = FIDInceptionV3()
         weights_path = weights_path or _find_weights()
         if weights_path:
@@ -128,8 +129,15 @@ class InceptionExtractor:
         return {k: np.concatenate(v) for k, v in outs.items()}
 
     def features_from_dir(
-        self, folder: str | Path, mode: str = "clean", max_items: int | None = None
+        self, folder: str | Path, mode: str = "clean",
+        max_items: int | None = None, cache: bool = False,
     ) -> dict[str, np.ndarray]:
+        """``cache=True`` memoizes the result keyed by the dir's content
+        fingerprint (name/mtime/size of every image) — the FID REFERENCE
+        dir is re-read unchanged by every exploration mode and every
+        validation epoch (7-8 full 50k-image extraction passes per test
+        suite without it).  Bounded to the 4 most recent entries; sample
+        dirs change every run and should NOT pass cache=True."""
         from PIL import Image
 
         files = sorted(
@@ -139,6 +147,13 @@ class InceptionExtractor:
         if max_items:
             files = files[:max_items]
         assert files, f"no images in {folder}"
+        if cache:
+            fp = hash(tuple((f.name, f.stat().st_mtime_ns, f.stat().st_size)
+                            for f in files))
+            key = (str(Path(folder).resolve()), mode, max_items, fp)
+            hit = self._dir_cache.get(key)
+            if hit is not None:
+                return hit
         outs: dict[str, list[np.ndarray]] = {"pool3": [], "logits": [], "spatial": []}
         for i in range(0, len(files), self.batch_size):
             imgs = np.stack([
@@ -148,7 +163,12 @@ class InceptionExtractor:
             res = self._forward(self.params, batch)
             for k in outs:
                 outs[k].append(np.asarray(res[k]))
-        return {k: np.concatenate(v) for k, v in outs.items()}
+        result = {k: np.concatenate(v) for k, v in outs.items()}
+        if cache:
+            self._dir_cache[key] = result
+            while len(self._dir_cache) > 4:  # FIFO bound (~400 MB/entry @50k)
+                self._dir_cache.pop(next(iter(self._dir_cache)))
+        return result
 
 
 # ----------------------------------------------------------------------
@@ -186,7 +206,7 @@ def get_fid_dict(
     rank-local (diagnostic parity with the reference's per-rank dirs).
     """
     f_sample = extractor.features_from_dir(sample_dir, mode="clean")
-    f_real = extractor.features_from_dir(gt_dir, mode="clean")
+    f_real = extractor.features_from_dir(gt_dir, mode="clean", cache=True)
 
     out: dict[str, float] = {}
     mu1, s1 = _mu_cov(f_sample["pool3"])
@@ -201,7 +221,8 @@ def get_fid_dict(
 
     if not debug:  # torch-fidelity-flavored extras skipped in debug (eval_fid.py:104)
         fb_sample = extractor.features_from_dir(sample_dir, mode="bilinear")
-        fb_real = extractor.features_from_dir(gt_dir, mode="bilinear")
+        fb_real = extractor.features_from_dir(gt_dir, mode="bilinear",
+                                              cache=True)
         bm1, bs1 = _mu_cov(fb_sample["pool3"])
         bm2, bs2 = _mu_cov(fb_real["pool3"])
         out["fid_tf"] = frechet_distance(bm1, bs1, bm2, bs2)
@@ -254,8 +275,16 @@ def sample_to_dir(
 
     sample_dir = Path(sample_dir)
     sample_dir.mkdir(parents=True, exist_ok=True)
+    # clear stale PNGs: dirs are reused across runs (same log_dir, e.g. a
+    # debug re-run with a smaller fid_num) and the FID reader globs every
+    # file present — leftovers from a previous larger run would silently
+    # dominate the metric
+    for old in sample_dir.glob("img*.png"):
+        old.unlink()
     if save_gt_dir is not None:
         Path(save_gt_dir).mkdir(parents=True, exist_ok=True)
+        for old in Path(save_gt_dir).glob("img*.png"):
+            old.unlink()
     i = 0
     for bi, batch in enumerate(cycle(loader)):
         if batch_transform is not None:

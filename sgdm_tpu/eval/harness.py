@@ -91,6 +91,9 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
         cond = kw.get("cond")
         layout = kw.get("layout")
         b, h, w, c = batch["image"].shape
+        extra = {}
+        if kw.get("image_batch_ids") is not None:  # cluster_lookup table
+            extra["image_batch_ids"] = kw["image_batch_ids"]
         imgs, inter = trainer.sampling_progressive(
             b, h, c,
             jax.random.PRNGKey(seed),
@@ -102,6 +105,7 @@ def _make_batch_sample_fn(trainer, cond_scale: float,
             cond_scale=cond_scale,
             sampling_method=sampling_method,
             num_steps=num_steps,
+            **extra,
         )
         if want_chain:
             # pred_x0 is already uint8 [0,255] when the sampler ran with
@@ -563,10 +567,19 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
                 sampling_method=sampling_method, num_steps=num_steps,
             )
             draw_grid(imgs, papervis_dir / "condscale_sweep.png", ncol=5)
+    # the primary run's dir name, constructed EXACTLY like the cond-scale
+    # loop's tag (scale-list element, not raw trainer.cond_scale — the raw
+    # value spells "sNone"/"s0.0" where the loop wrote "s0" and the evals
+    # would silently skip)
+    primary_scale = get_condition_scale_list(trainer.cond_scale)[0]
+    primary_dir = log_dir / (
+        f"test_{sampling_method}{num_steps}_s{primary_scale}"
+        f"{_process_suffix()}"
+    )
     if vis.get("knn") or vis.get("knn_vis"):
         from .knn_eval import get_knn_eval_dict
 
-        sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"
+        sample_dir = primary_dir
         if sample_dir.exists():
             results.update(get_knn_eval_dict(
                 sample_dir, gt_dir, papervis_dir=papervis_dir
@@ -574,7 +587,7 @@ def run_test_and_all_exploration(trainer, cfg: Mapping[str, Any]) -> dict:
     if vis.get("tsne") or vis.get("tsne_vis"):
         from .tsne import kluster_tsne_vis
 
-        sample_dir = log_dir / f"test_{sampling_method}{num_steps}_s{trainer.cond_scale}{_process_suffix()}"
+        sample_dir = primary_dir
         if sample_dir.exists():
             kluster_tsne_vis(sample_dir, gt_dir,
                              save_path=papervis_dir / "tsne.png")

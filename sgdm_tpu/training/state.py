@@ -55,8 +55,15 @@ def create_train_state(
 ) -> TrainState:
     """Initialize params (and the EMA copy) from an example batch."""
     cond_kwargs = {
-        k: v for k, v in (cond_kwargs or {}).items() if k in ("cond", "layout")
+        k: v for k, v in (cond_kwargs or {}).items()
+        if k in ("cond", "layout", "image_batch_ids")
     }
+    # cluster_lookup conditions on batch ids via a learned Embed table —
+    # init MUST see ids or the lookup_table param is never created (and
+    # the UNet asserts on them, models/unet.py:253-260)
+    if "image_batch_ids" in cond_kwargs:
+        cond_kwargs["image_batch_ids"] = jnp.asarray(
+            cond_kwargs["image_batch_ids"], dtype=jnp.int32)
     x = jnp.asarray(example_batch["image"])
     t = jnp.zeros((x.shape[0],), dtype=jnp.int32)
     # jit the init: flax init is otherwise eager — hundreds of tiny

@@ -76,7 +76,8 @@ class SelfGuidedDiffusionTrainer:
         compute_dtype = hparams.get("compute_dtype")
         if compute_dtype is None:
             compute_dtype = {"32": "float32", 32: "float32", "fp32": "float32",
-                             "16": "bfloat16", "bf16": "bfloat16",
+                             "16": "bfloat16", 16: "bfloat16",
+                             "bf16": "bfloat16",
                              None: "bfloat16"}.get(_pl_prec, str(_pl_prec))
         self._dtype = jnp.bfloat16 if str(compute_dtype) in ("bf16", "bfloat16") else jnp.float32
 
@@ -111,8 +112,6 @@ class SelfGuidedDiffusionTrainer:
         # axis (ZeRO-3; parallel/fsdp.py) — composes with tensor_parallel
         self.fsdp = bool(trainer_cfg.get("fsdp", False))
         if strategy == "data_parallel":
-            import os
-
             devices = (
                 jax.devices("cpu") if os.environ.get("SGDM_FORCE_CPU") else None
             )
@@ -245,7 +244,8 @@ class SelfGuidedDiffusionTrainer:
 
     def _init_state(self, example_batch: dict) -> None:
         rng = jax.random.PRNGKey(self.seed)
-        cond_kwargs = {k: example_batch.get(k) for k in ("cond", "layout")}
+        cond_kwargs = {k: example_batch.get(k)
+                       for k in ("cond", "layout", "image_batch_ids")}
         self.state = create_train_state(
             self.model, self.tx, rng, example_batch,
             {k: v for k, v in cond_kwargs.items() if v is not None},
@@ -534,19 +534,25 @@ class SelfGuidedDiffusionTrainer:
         kw = self._cond_kwargs(raw_batch, training=False)
         cond = kw.get("cond")
         layout = kw.get("layout")
+        ids = kw.get("image_batch_ids")  # cluster_lookup learned table
         n = min(max_images, raw_batch["image"].shape[0])
         img_size = raw_batch["image"].shape[1]
         channels = raw_batch["image"].shape[-1]
 
         def run(tag, s, cond_arr, layout_arr, log_chain=False):
             sample = self._make_sampler(cond_scale=float(s), **sampler_kw)
+            b = len(cond_arr) if cond_arr is not None else n
+            extra = {}
+            if ids is not None:
+                extra["image_batch_ids"] = jnp.asarray(ids[:b], jnp.int32)
             imgs, inter = sample(
                 self.state.ema_params,
                 jax.random.PRNGKey(self.global_step),
-                len(cond_arr) if cond_arr is not None else n,
+                b,
                 img_size, channels,
                 cond=None if cond_arr is None else jnp.asarray(cond_arr, jnp.float32),
                 layout=layout_to_device(layout_arr, self._layout_dim()),
+                **extra,
             )
             log = {f"images/{tag}": make_grid(np.asarray(imgs))}
             if log_chain:
@@ -626,6 +632,7 @@ class SelfGuidedDiffusionTrainer:
         sampling_method: str | None = None,
         num_steps: int | None = None,
         use_ema: bool = True,
+        image_batch_ids=None,
     ):
         """Public sampling API (parity: lightning_module.py:136-203)."""
         sample = self._make_sampler(
@@ -634,5 +641,8 @@ class SelfGuidedDiffusionTrainer:
             self.cond_scale if cond_scale is None else cond_scale,
         )
         params = self.state.ema_params if use_ema else self.state.params
+        extra = {}
+        if image_batch_ids is not None:  # cluster_lookup learned-table cond
+            extra["image_batch_ids"] = jnp.asarray(image_batch_ids, jnp.int32)
         return sample(params, rng, batch_size, image_size, channels,
-                      cond=cond, layout=layout)
+                      cond=cond, layout=layout, **extra)

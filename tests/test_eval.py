@@ -172,3 +172,52 @@ class TestSegMetricsOverclustered:
         # acc 4/8; argmax mapping gets everything right
         assert m["pixel_acc"] == 1.0
         assert m["miou"] == 1.0
+
+
+class TestSampleDirHygiene:
+    def test_sample_to_dir_clears_stale_pngs(self, tmp_path):
+        """Dirs are reused across runs (same log_dir, smaller re-run); the
+        FID reader globs every file present, so leftovers from a larger
+        previous run must be removed before writing."""
+        from PIL import Image
+
+        from sgdm_tpu.eval.fid_engine import sample_to_dir
+
+        d = tmp_path / "samples"
+        d.mkdir()
+        for i in range(10):  # a previous, larger run
+            Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(
+                d / f"img{i}.png")
+
+        def fake_sample(batch, seed):
+            return np.full((2, 4, 4, 3), 255, np.uint8)
+
+        loader = [{"image": np.zeros((2, 4, 4, 3), np.float32)}]
+        sample_to_dir(fake_sample, loader, fid_num=4, sample_dir=d)
+        files = sorted(p.name for p in d.glob("*.png"))
+        assert files == ["img0.png", "img1.png", "img2.png", "img3.png"]
+
+    @pytest.mark.slow  # builds the inception net (compile-bound)
+    def test_features_from_dir_cache(self, tmp_path):
+        from PIL import Image
+
+        from sgdm_tpu.eval.fid_engine import InceptionExtractor
+
+        d = tmp_path / "gt"
+        d.mkdir()
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            Image.fromarray(
+                rng.randint(0, 255, (8, 8, 3)).astype(np.uint8)
+            ).save(d / f"img{i}.png")
+        ext = InceptionExtractor(batch_size=2)
+        a = ext.features_from_dir(d, mode="bilinear", cache=True)
+        b = ext.features_from_dir(d, mode="bilinear", cache=True)
+        assert a is b  # cache hit: identical object, no recompute
+        # touching the dir invalidates the fingerprint
+        Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "img3.png")
+        c = ext.features_from_dir(d, mode="bilinear", cache=True)
+        assert c is not b and len(c["pool3"]) == 4
+        # uncached calls never populate or read the cache
+        e = ext.features_from_dir(d, mode="bilinear")
+        assert e is not c

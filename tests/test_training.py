@@ -273,3 +273,39 @@ class TestTrainerKnobs:
         dm = DataModuleFromConfig(batch_size=8, train=ds, num_workers=0)
         t.fit(dm, max_epochs=4)
         assert ran == [1, 3]
+
+
+@pytest.mark.slow  # >10s-class (measured r5 full-suite profile) -> slow tier
+def test_cluster_lookup_end_to_end():
+    """condition_method=cluster_lookup: the learned per-image table needs
+    `image_batch_ids` at INIT (or the Embed param is never created), at
+    every train step, and through the sampling API — the three plumbing
+    points that previously filtered the ids out."""
+    model = UNetModel(
+        model_channels=8, out_channels=1, num_res_blocks=1,
+        channel_mult=(1,), attention_resolutions=(), num_heads=1,
+        resblock_updown=False, cond_dim=4,
+        condition_method="cluster_lookup", lookup_table_size=32,
+    )
+    diffusion = GaussianDiffusion(num_timesteps=10)
+    tx = create_optimizer("adamw", lr=1e-3, wd=0.0, scheduler=None)
+    batch = {
+        "image": jnp.full((4, 8, 8, 1), 0.5),
+        "image_batch_ids": jnp.arange(4, dtype=jnp.int32),
+    }
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), batch,
+        {"image_batch_ids": batch["image_batch_ids"]},
+    )
+    assert "lookup_table" in state.params, list(state.params)
+
+    step = make_train_step(model, diffusion, tx, cond_drop_prob=0.1)
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    sample = make_sample_fn(model, diffusion, sampling_method="ddim",
+                            num_steps=2, cond_scale=2.0,
+                            pallas_inference=False)
+    imgs, _ = sample(state.ema_params, jax.random.PRNGKey(2), 4, 8, 1,
+                     image_batch_ids=batch["image_batch_ids"])
+    assert np.asarray(imgs).shape == (4, 8, 8, 1)
